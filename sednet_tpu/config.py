@@ -1,0 +1,138 @@
+"""Experiment configuration.
+
+One dataclass-based config, YAML/INI-loadable, reproducing the reference's
+key vocabulary (reference: read_config.py:6-84 and
+configs/config_SEDNet_normal.yml) plus the test-time knobs the reference
+hardcodes as module constants (reference: generate_predictions_aug.py:58-68).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # bookkeeping
+    comment: str = ""
+    model_path: str = "SEDNet_{}_lr_{}_mode_{}_k{}"
+    dataset: str = ""
+    preload_model: bool = False
+    pretrain_model_path: str = ""
+    pretrain_model_type_path: str = ""
+    pretrain_opti_path: str = ""
+
+    # inputs
+    normals: bool = True
+    num_points: int = 10000
+    num_train: int = 16000
+    num_val: int = 2700
+    num_test: int = 2700
+
+    # model
+    mode: int = 5                # 0: xyz only, 5: xyz + normals-aware first-layer knn
+    embed: int = 128             # embedding dim
+    knn: int = 64                # neighbours per edge-conv (ref default 64)
+    num_primitives: int = 6
+    grid_size: int = 20          # splinenet control grid
+    normal_metric_W: float = 1.0  # weight of normal term in first-layer knn metric
+    w_pos_enc: float = 0.2       # early/late fusion weight (ref SEDNet.py:219)
+    edge_module: bool = True
+    late_fusion: bool = True
+    combine_label_prim: bool = True
+    predict_normal: bool = False
+
+    # optimisation
+    batch_size: int = 4
+    lr: float = 1e-4
+    optim: str = "adamW"         # "adam" | "adamW"
+    sche: str = "reduce"         # "cos" | "reduce"
+    lr_sch: bool = True
+    patience: int = 5
+    weight_decay: float = 0.002
+    epochs: int = 200
+    smooth: float = 0.025        # label smoothing for the type loss
+    loss_weight: float = 100.0
+    input_drop: float = 0.0
+    eval_T: int = 2000
+    seed: int = 0
+
+    # losses (ref train_sed_net.py:270)
+    w_edge_embed_loss: float = 0.25
+    triplet_margin: float = 1.0
+    pull_margin: float = 0.5
+    push_margin: float = 1.5
+    edge_topk: int = 2000
+
+    # clustering / eval-time knobs (ref generate_predictions_aug.py:58-68)
+    ms_quantile: float = 0.015
+    ms_iterations: int = 50
+    ms_num_samples: int = 10000
+    ms_max_clusters: int = 50
+    ms_retry_factor: float = 1.2
+    hpnet_embed: bool = True
+    normal_smooth_w: float = 0.5
+    spectral_sigma: float = 0.1
+    spectral_knn: int = 50
+    spectral_eigvecs: int = 12
+
+    # runtime
+    gpu: str = ""                # kept for config-file compat; unused on TPU
+    dtype: str = "float32"       # compute dtype for the backbone
+    mesh_shape: Optional[int] = None  # data-parallel devices; None = all
+
+    def asdict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.asdict(), f, indent=2)
+
+
+_BOOL = {"true": True, "false": False, "1": True, "0": False}
+
+
+def _coerce(value: str, target_type):
+    value = value.strip().strip('"').strip("'")
+    if target_type is bool:
+        return _BOOL[value.lower()]
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type == Optional[int]:
+        return None if value.lower() in ("none", "") else int(value)
+    return value
+
+
+def load_config(path: str) -> Config:
+    """Load a Config from an INI-ish yml file (the reference's format),
+    or from a JSON file produced by ``Config.save``."""
+    import typing
+
+    text = open(path).read()
+    known = {f.name for f in dataclasses.fields(Config)}
+    if path.endswith(".json"):
+        data = json.loads(text)
+        return Config(**{k: v for k, v in data.items() if k in known})
+
+    hints = typing.get_type_hints(Config)
+    # reference key -> our key (read_config.py:52,72)
+    aliases = {"num_epochs": "epochs", "encoder_drop": "input_drop"}
+    kwargs = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or line.startswith("["):
+            continue
+        m = re.match(r"^(\w+)\s*=\s*(.*)$", line)
+        if not m:
+            continue
+        key, value = m.group(1), m.group(2)
+        key = aliases.get(key, key)
+        if key not in known:
+            continue
+        kwargs[key] = _coerce(value, hints[key])
+    return Config(**kwargs)

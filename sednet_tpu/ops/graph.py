@@ -1,0 +1,48 @@
+"""Edge-feature construction for DGCNN edge convolutions.
+
+TPU-native equivalent of the reference's get_graph_feature family
+(reference: src/PointNet.py:140-245), which flattens (B,N) and gathers with
+global indices. Here we keep channels-last (B, N, C) layout — the channel
+axis maps onto the 128-lane dimension — and gather per batch item with a
+vmapped take, which XLA lowers to an efficient dynamic-gather.
+
+Edge feature for point i and neighbour j: [x_j - x_i, x_i]  -> 2C channels.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbour features.
+
+    x: (B, N, C), idx: (B, N, K) int32 -> (B, N, K, C).
+    """
+    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+
+
+def edge_features(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """[x_j - x_i, x_i] edge features (reference: src/PointNet.py:170).
+
+    x: (B, N, C), idx: (B, N, K) -> (B, N, K, 2C).
+    """
+    nbr = gather_neighbors(x, idx)                       # (B, N, K, C)
+    ctr = jnp.broadcast_to(x[:, :, None, :], nbr.shape)  # (B, N, K, C)
+    return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+
+def edge_features_cross(
+    pos: jax.Array, feat: jax.Array, idx: jax.Array, use_pos: bool = False
+) -> jax.Array:
+    """Gather `feat` neighbours using an index built on `pos` (xyz kNN).
+
+    Reference: my_get_graph_feature (src/PointNet.py:213-245).
+    pos: (B, N, 3), feat: (B, N, C), idx: (B, N, K)
+    -> (B, N, K, C) or with use_pos (B, N, K, C+3) (center xyz prepended).
+    """
+    nbr = gather_neighbors(feat, idx)
+    if use_pos:
+        ctr = jnp.broadcast_to(pos[:, :, None, :], nbr.shape[:-1] + (3,))
+        return jnp.concatenate([ctr, nbr], axis=-1)
+    return nbr

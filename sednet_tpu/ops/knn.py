@@ -1,0 +1,129 @@
+"""k-nearest-neighbour graph construction (the backbone hot loop).
+
+TPU-native redesign of the reference's kNN (reference: src/PointNet.py:62-137,
+which builds a full NxN distance matrix *per batch item in a Python loop* and
+calls topk). Here each query row-block streams against the full point set:
+one (R x N) distance tile is produced by an MXU matmul and immediately
+reduced by top-k, so HBM never holds the NxN matrix and XLA can fuse the
+bias terms into the matmul epilogue. Batched via vmap; the row-block loop is
+a `lax.map`, so the compiled program is a single fused scan.
+
+Two metrics, matching the reference exactly:
+  * plain squared euclidean (src/PointNet.py:76-78),
+  * position-normal product metric  d_p * (1 + W * d_n)  with
+    d_n = 2 - 2 n_i.n_j, used only for the first layer when normals are
+    available (src/PointNet.py:106-128).
+
+The reference's "dilation" (`indices = arange(0, k2, k2 // k1)`) selects a
+strided subset of the k2 nearest; with the default config k1 == k2 == 64 it
+is the identity. We support it via (k1, k2).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dotT(q: jax.Array, p: jax.Array) -> jax.Array:
+    # full-precision matmul: distance ordering is parity-sensitive, so don't
+    # let the TPU default to bf16 inputs. Accumulate in >= f32.
+    acc = jnp.float64 if q.dtype == jnp.float64 else jnp.float32
+    return jax.lax.dot_general(
+        q,
+        p,
+        ((((1,), (1,)), ((), ()))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=acc,
+    )
+
+
+def pairwise_sqdist(q: jax.Array, p: jax.Array) -> jax.Array:
+    """Squared euclidean distances between rows of q (R,D) and p (N,D)."""
+    qq = jnp.sum(q * q, axis=-1)
+    pp = jnp.sum(p * p, axis=-1)
+    return qq[:, None] - 2.0 * _dotT(q, p) + pp[None, :]
+
+
+def _points_normals_sqdist(q: jax.Array, p: jax.Array, w: float) -> jax.Array:
+    """Reference first-layer metric: d_p * (1 + W * d_n) (src/PointNet.py:109-120)."""
+    dp = pairwise_sqdist(q[:, :3], p[:, :3])
+    dn = 2.0 - 2.0 * _dotT(q[:, 3:6], p[:, 3:6])
+    return dp * (1.0 + w * dn)
+
+
+def _blocked_topk_neighbors(x, metric_fn, k, row_block):
+    """Row-block streaming top-k of -metric over all N columns.
+
+    x: (N, D). Returns (N, k) int32 neighbour indices, nearest first.
+    """
+    n = x.shape[0]
+    rb = min(row_block, _round_up(n, 8))
+    n_pad = _round_up(n, rb)
+    # pad query rows only; columns stay the true point set so padding can
+    # never be selected as a neighbour.
+    x_q = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    def block(start):
+        q = lax.dynamic_slice_in_dim(x_q, start, rb)
+        d = metric_fn(q, x)  # (rb, N)
+        _, idx = lax.top_k(-d, k)
+        return idx.astype(jnp.int32)
+
+    starts = jnp.arange(n_pad // rb, dtype=jnp.int32) * rb
+    idx = lax.map(block, starts)  # (nblocks, rb, k)
+    return idx.reshape(n_pad, k)[:n]
+
+
+def _dilate(idx_k2: jax.Array, k1: int, k2: int) -> jax.Array:
+    if k1 == k2:
+        return idx_k2
+    stride = k2 // k1
+    return idx_k2[..., ::stride][..., :k1]
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "row_block"))
+def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *, row_block: int = 512) -> jax.Array:
+    """Batched kNN under squared-euclidean distance.
+
+    x: (B, N, D) float. Returns (B, N, k1) int32 — for each point, the
+    indices of its k nearest neighbours (self included, nearest first).
+    Reference: src/PointNet.py:62-87.
+    """
+    k2 = k1 if k2 is None else k2
+    f = functools.partial(
+        _blocked_topk_neighbors,
+        metric_fn=pairwise_sqdist,
+        k=k2,
+        row_block=row_block,
+    )
+    return _dilate(jax.vmap(f)(x), k1, k2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k1", "k2", "row_block", "normal_metric_w")
+)
+def knn_indices_points_normals(
+    x: jax.Array,
+    k1: int,
+    k2: int | None = None,
+    *,
+    normal_metric_w: float = 1.0,
+    row_block: int = 512,
+) -> jax.Array:
+    """Batched kNN under the position*(1+W*normal) metric.
+
+    x: (B, N, 6) — xyz ++ unit normals. Reference: src/PointNet.py:90-137.
+    """
+    k2 = k1 if k2 is None else k2
+    metric = functools.partial(_points_normals_sqdist, w=normal_metric_w)
+    f = functools.partial(
+        _blocked_topk_neighbors, metric_fn=metric, k=k2, row_block=row_block
+    )
+    return _dilate(jax.vmap(f)(x), k1, k2)
