@@ -1,0 +1,160 @@
+"""Differentiable mean-shift clustering on the unit hypersphere.
+
+TPU-native rebuild of the reference's MeanShift (reference:
+src/mean_shift.py:11-186): the per-shape Python iteration loop becomes a
+fixed-trip `lax.fori_loop`; NMS's numpy `unique` bookkeeping becomes
+fixed-shape segment-sums and masked argmaxes (clusters are represented as an
+(N,) validity mask + compact ids, never a dynamic count); and the
+guarded quantile-retry loop (reference: src/mean_shift.py:81-96,
+generate_predictions_aug.py:25-35) is a `lax.while_loop`, so the entire
+clustering pipeline jits and can be vmapped across shapes.
+
+Semantics preserved: gaussian kernel exp(-d/b^2/2) with the +-75 exp clamp,
+epanechnikov option, bandwidth = mean sqrt(k-th NN distance) over a random
+subsample with k = quantile * num_samples, bandwidth clamp >= 0.003, the
+update new_X += (K@X)*D - new_X with per-iteration renormalization, and the
+neighbour-mass NMS.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sednet_tpu.ops.guard import guard_exp, guard_sqrt
+
+
+class MeanShiftResult(NamedTuple):
+    shifted: jax.Array       # (N, E) shifted points (cluster centers per point)
+    labels: jax.Array        # (N,) int32 compact cluster ids in [0, num_clusters)
+    center_mask: jax.Array   # (N,) bool — rows of `shifted` kept as centers
+    num_clusters: jax.Array  # () int32
+    bandwidth: jax.Array     # () f32
+    quantile: jax.Array      # () f32 (post-retry)
+
+
+def _dotT(a, b):
+    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def compute_bandwidth(key: jax.Array, x: jax.Array, num_samples: int,
+                      quantile: jax.Array) -> jax.Array:
+    """Mean sqrt of the (quantile*num_samples)-th smallest pairwise distance
+    over a random subsample (reference: src/mean_shift.py:115-137).
+
+    `quantile` may be traced (the retry loop scales it); the neighbour count
+    is handled by masking a sorted row rather than a dynamic top-k."""
+    n = x.shape[0]
+    m = min(num_samples, n)
+    sel = jax.random.permutation(key, n)[:m]
+    xs = x[sel]
+    dist = 2.0 - 2.0 * _dotT(xs, xs)  # (m, m)
+    sorted_d = jnp.sort(dist, axis=1)
+    # torch.topk(k, largest=False)[0][:, -1] is the k-th smallest (self
+    # distance 0 included), i.e. sorted index k-1 (mean_shift.py:132-135)
+    k = jnp.clip((quantile * m).astype(jnp.int32), 1, m - 1)
+    kth = jnp.take_along_axis(sorted_d, jnp.full((m, 1), k - 1), axis=1)[:, 0]
+    return jnp.mean(guard_sqrt(kth, 1e-6))
+
+
+def _kernel(dist, b, kernel_type: str):
+    if kernel_type == "gaussian":
+        return guard_exp(-dist / (b * b) / 2.0)
+    # epanechnikov (reference: src/mean_shift.py:66-68)
+    return jax.nn.relu(0.75 * (1.0 - dist / (b * b)))
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "kernel_type"))
+def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
+                       kernel_type: str = "gaussian") -> jax.Array:
+    """Fixed-trip mean-shift updates (reference: src/mean_shift.py:45-79).
+
+    x: (N, E), assumed unit-norm. Returns shifted (N, E)."""
+
+    def body(_, new_x):
+        dist = 2.0 - 2.0 * _dotT(new_x, x)
+        k = _kernel(dist, bandwidth, kernel_type)
+        d = 1.0 / jnp.sum(k, axis=1, keepdims=True)
+        new_x = jnp.dot(k, x, precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32) * d
+        return new_x / jnp.clip(jnp.linalg.norm(new_x, axis=1, keepdims=True),
+                                min=1e-12)
+
+    return lax.fori_loop(0, iterations, body, x)
+
+
+def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
+    """Fixed-shape non-max suppression (reference: src/mean_shift.py:139-179).
+
+    Returns (labels (N,) compact ids, center_mask (N,), num_clusters)."""
+    n = x.shape[0]
+    # nearest shifted center for every point
+    membership = jnp.argmin(2.0 - 2.0 * _dotT(centers, x), axis=0)  # (N,)
+    counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), membership,
+                                 num_segments=n)                     # (N,)
+    occupied = counts > 0
+    # centers within bandwidth of each other vote for the heaviest neighbour
+    dist_cc = 2.0 - 2.0 * _dotT(centers, centers)
+    nbrs = (dist_cc < b).astype(jnp.float32)
+    rep = jnp.argmax(nbrs * counts[None, :], axis=1)                 # (N,)
+    center_mask = jnp.zeros((n,), bool).at[rep].max(occupied)
+    # assign every point to its most-aligned surviving center
+    sim = jnp.where(center_mask[:, None], _dotT(centers, x), -jnp.inf)
+    raw = jnp.argmax(sim, axis=0)                                    # (N,)
+    compact = (jnp.cumsum(center_mask) - 1).astype(jnp.int32)
+    labels = compact[raw]
+    return labels, center_mask, center_mask.sum().astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "iterations", "kernel_type"))
+def mean_shift(key, x, *, num_samples=10000, quantile=0.015, iterations=50,
+               kernel_type: str = "gaussian", bandwidth=None) -> MeanShiftResult:
+    """One full clustering pass (reference: src/mean_shift.py:19-43)."""
+    q = jnp.asarray(quantile, jnp.float32)
+    if bandwidth is None:
+        bandwidth = lax.stop_gradient(
+            jnp.clip(compute_bandwidth(key, x, num_samples, q), min=0.003))
+    shifted = mean_shift_iterate(x, bandwidth, iterations, kernel_type)
+    labels, center_mask, num = nms(lax.stop_gradient(shifted),
+                                   lax.stop_gradient(x), bandwidth)
+    return MeanShiftResult(shifted, labels, center_mask, num, bandwidth, q)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "iterations", "kernel_type",
+                     "max_clusters", "retry_factor"))
+def guard_mean_shift(key, x, *, num_samples=10000, quantile=0.015,
+                     iterations=50, kernel_type: str = "gaussian",
+                     max_clusters: int = 49,
+                     retry_factor: float = 1.2) -> MeanShiftResult:
+    """Retry with inflated quantile until <= max_clusters clusters
+    (reference: generate_predictions_aug.py:25-35 uses x1.2; the library
+    variant src/mean_shift.py:81-96 uses x2 — pass retry_factor=2.0)."""
+
+    def attempt(q, k):
+        return mean_shift(k, x, num_samples=num_samples, quantile=q,
+                          iterations=iterations, kernel_type=kernel_type)
+
+    def cond(state):
+        res, _, tries = state
+        return (res.num_clusters > max_clusters) & (tries < 16)
+
+    def body(state):
+        res, key, tries = state
+        key, sub = jax.random.split(key)
+        q = res.quantile * retry_factor
+        out = attempt(q, sub)
+        return out._replace(quantile=q), key, tries + 1
+
+    key, sub = jax.random.split(key)
+    first = attempt(jnp.asarray(quantile, jnp.float32), sub)
+    res, _, _ = lax.while_loop(cond, body, (first, key, jnp.int32(0)))
+    return res

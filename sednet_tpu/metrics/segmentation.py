@@ -1,0 +1,189 @@
+"""Hungarian-matched segmentation / type metrics.
+
+Rebuild of reference src/segment_utils.py. The soft-IoU cost matrix is an
+XLA matmul (relaxed_iou_fast, reference :609-627); the Hungarian solve runs
+on host via scipy.linear_sum_assignment over the <=50x50 cost (the reference
+uses lapsolver.solve_dense, :173-176) — this is the designed device/host cut:
+everything upstream is batched device math, the assignment is O(50^3) host
+work per shape.
+
+Type remap semantics ({0,6,7}->9, 8->2) follow reference :156-164. These
+functions MUTATE nothing — unlike the reference, which remaps its input
+arrays in place.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from sednet_tpu.ops.chamfer import chamfer_distance
+
+
+def to_one_hot(target: np.ndarray, maxx: int = 50) -> np.ndarray:
+    """(N,) int -> (N, maxx) one-hot (reference: src/segment_utils.py:536-545)."""
+    n = target.shape[0]
+    out = np.zeros((n, maxx), np.float32)
+    out[np.arange(n), target.astype(np.int64)] = 1.0
+    return out
+
+
+def relaxed_iou_fast(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Soft IoU between one-hot segmentations.
+
+    pred: (B, N, K), gt: (B, N, K') -> (B, K, K')
+    (reference: src/segment_utils.py:609-627)."""
+    dots = jnp.einsum("bnk,bnl->bkl", pred, gt)
+    norms_p = pred.sum(1)[:, :, None]
+    norms_g = gt.sum(1)[:, None, :]
+    return dots / (norms_p + norms_g - dots + 1e-7)
+
+
+def hungarian_match(cost: np.ndarray):
+    """rows, cols minimizing total cost (reference uses lapsolver.solve_dense,
+    src/segment_utils.py:173-176)."""
+    rids, cids = linear_sum_assignment(cost)
+    return rids, cids
+
+
+def primitive_type_per_segment(prim_one_hot: np.ndarray,
+                               weights: np.ndarray) -> np.ndarray:
+    """Majority primitive type per predicted segment.
+
+    prim_one_hot: (N, T) per-point type one-hot; weights: (N, K) segment
+    membership -> (K,) type id (reference: src/segment_utils.py:509-517)."""
+    d = (prim_one_hot[:, :, None] * weights[:, None, :]).sum(0)  # (T, K)
+    return d.argmax(0)
+
+
+def _remap_eval(t: np.ndarray) -> np.ndarray:
+    out = t.copy()
+    out[(out == 0) | (out == 6) | (out == 7)] = 9
+    out[out == 8] = 2
+    return out
+
+
+def _matched_iou_core(target, pred_labels, prim_pred_per_seg, primitives,
+                      points=None, min_gt_points=100, use_chamfer=False):
+    """Shared loop of mean_IOU_primitive_segment[_usecd]
+    (reference: src/segment_utils.py:359-419 and :424-494)."""
+    labels_one_hot = to_one_hot(target)
+    cluster_one_hot = to_one_hot(pred_labels)
+    cost = 1.0 - np.asarray(
+        relaxed_iou_fast(jnp.asarray(cluster_one_hot[None]),
+                         jnp.asarray(labels_one_hot[None])))[0]
+    rows, cols = hungarian_match(cost)
+
+    iou_b, prim_ok, prim_pairs = [], [], []
+    recall_b = []
+    recall_pos = 0
+    for r, c in zip(rows, cols):
+        pred_i = pred_labels == r
+        gt_i = target == c
+        if gt_i.sum() == 0 or pred_i.sum() == 0:
+            continue
+        if not use_chamfer and gt_i.sum() < min_gt_points:
+            continue
+        tp = np.logical_and(pred_i, gt_i).sum()
+        iou = tp / (np.logical_or(pred_i, gt_i).sum() + 1e-8)
+        iou_b.append(iou)
+        if use_chamfer:
+            cd = float(chamfer_distance(jnp.asarray(points[pred_i][None]),
+                                        jnp.asarray(points[gt_i][None]))) / 2.0
+            if cd < 0.1:
+                recall_pos += 1
+        else:
+            fn = np.logical_and(~pred_i, gt_i).sum()
+            recall_b.append(tp / (tp + fn + 1e-8))
+        gt_type = primitives[gt_i][0]
+        pred_type = prim_pred_per_seg[r]
+        prim_ok.append(gt_type == pred_type)
+        prim_pairs.append([gt_type, pred_type])
+
+    seg_iou = float(np.mean(iou_b)) if iou_b else float("nan")
+    prim_iou = float(np.mean(prim_ok)) if prim_ok else float("nan")
+    if use_chamfer:
+        recall = recall_pos / np.unique(target).shape[0]
+    else:
+        recall = float(np.mean(recall_b)) if recall_b else float("nan")
+    return seg_iou, prim_iou, (rows, cols), prim_pairs, recall
+
+
+def siou_matched_segments(target, pred_labels, primitives_pred, primitives,
+                          weights):
+    """Reference SIOU_matched_segments (src/segment_utils.py:140-188).
+
+    target/pred_labels: (N,) instance ids; primitives_pred/primitives: (N,)
+    type labels (pre-remap); weights: (N, K) predicted-cluster one-hot.
+    Returns (seg_iou, type_iou, matching, prim_pairs, seg_recall)."""
+    primitives = _remap_eval(np.asarray(primitives))
+    primitives_pred = _remap_eval(np.asarray(primitives_pred))
+    prim_hot = to_one_hot(primitives_pred, 10)
+    prim_per_seg = primitive_type_per_segment(prim_hot, np.asarray(weights))
+    seg_iou, prim_iou, matching, pairs, recall = _matched_iou_core(
+        np.asarray(target), np.asarray(pred_labels), prim_per_seg, primitives)
+    return seg_iou, prim_iou, matching, pairs, recall
+
+
+def siou_matched_segments_usecd(target, pred_labels, primitives_pred,
+                                primitives, weights, points):
+    """Chamfer-recall variant, keeps small segments
+    (reference: src/segment_utils.py:194-242)."""
+    primitives = _remap_eval(np.asarray(primitives))
+    primitives_pred = _remap_eval(np.asarray(primitives_pred))
+    prim_hot = to_one_hot(primitives_pred, 10)
+    prim_per_seg = primitive_type_per_segment(prim_hot, np.asarray(weights))
+    seg_iou, prim_iou, matching, pairs, recall = _matched_iou_core(
+        np.asarray(target), np.asarray(pred_labels), prim_per_seg, primitives,
+        points=np.asarray(points), use_chamfer=True)
+    return seg_iou, prim_iou, matching, pairs, recall
+
+
+def mean_iou_one_sample(pred: np.ndarray, gt: np.ndarray, c: int) -> float:
+    """Per-class IoU average (reference: src/segment_utils.py:124-137)."""
+    eps = np.finfo(np.float32).eps
+    iou = 0.0
+    for k in range(c):
+        gi, pi = gt == k, pred == k
+        iou += (np.logical_and(gi, pi).sum() + eps) / (
+            np.logical_or(gi, pi).sum() + eps)
+    return iou / c
+
+
+def _mode(a: np.ndarray):
+    vals, counts = np.unique(a, return_counts=True)
+    return vals[np.argmax(counts)]
+
+
+def compute_type_miou_abc(type_per_point: np.ndarray, t_gt: np.ndarray,
+                          cluster_pred: np.ndarray, i_gt: np.ndarray) -> float:
+    """HPNet-style per-instance type accuracy
+    (reference: src/segment_utils.py:300-355).
+
+    type_per_point: (N, C) scores or (N,) ids; t_gt, cluster_pred, i_gt: (N,)."""
+    t_pred = (type_per_point.argmax(-1) if type_per_point.ndim == 2
+              else type_per_point).copy()
+    t_pred[(t_pred == 6) | (t_pred == 7) | (t_pred == 9)] = 0
+    t_pred[t_pred == 8] = 2
+    t_gt = t_gt.copy()
+    t_gt[(t_gt == 6) | (t_gt == 7) | (t_gt == 9)] = 0
+    t_gt[t_gt == 8] = 2
+
+    pred_hot = to_one_hot(cluster_pred, int(cluster_pred.max()) + 1)
+    if i_gt.min() == -1:
+        gt_hot = to_one_hot(i_gt + 1, int(i_gt.max()) + 2)[:, 1:]
+    else:
+        gt_hot = to_one_hot(i_gt, int(i_gt.max()) + 1)
+    cost = 1.0 - np.asarray(relaxed_iou_fast(
+        jnp.asarray(pred_hot[None]), jnp.asarray(gt_hot[None])))[0]
+    rows, cols = hungarian_match(cost)
+
+    ok, cnt = 0, 0
+    for p_ind, g_ind in zip(rows, cols):
+        gt_sel = t_gt[i_gt == g_ind]
+        pr_sel = t_pred[cluster_pred == p_ind]
+        if gt_sel.size == 0 or pr_sel.size == 0:
+            continue
+        ok += int(_mode(gt_sel) == _mode(pr_sel))
+        cnt += 1
+    return ok / max(cnt, 1)

@@ -1,0 +1,114 @@
+"""Data-layer tests: geometry, augmentation, synthetic fixtures, h5 loaders."""
+import numpy as np
+import pytest
+
+from sednet_tpu.data import (
+    Augmentor,
+    BatchLoader,
+    EdgeDataset,
+    MixedDataset,
+    ParseNetDataset,
+    canonicalize_instance_labels,
+    make_synthetic_shape,
+    normalize_points,
+    pca_align,
+    remap_type_labels_eval,
+    remap_type_labels_train,
+    rotation_matrix_a_to_b,
+    write_edge_h5,
+    write_parsenet_h5,
+)
+
+
+def test_rotation_a_to_b(rng):
+    for _ in range(5):
+        a = rng.randn(3)
+        a /= np.linalg.norm(a)
+        b = rng.randn(3)
+        b /= np.linalg.norm(b)
+        r = rotation_matrix_a_to_b(a, b)
+        np.testing.assert_allclose(r @ a, b, atol=1e-6)
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+
+def test_normalize_points(rng):
+    pts = rng.randn(100, 3) * 5 + 3
+    out = normalize_points(pts)
+    np.testing.assert_allclose(out.mean(0), 0, atol=1e-6)
+    assert (out.max(0) - out.min(0)).max() == pytest.approx(1.0, rel=1e-5)
+
+
+def test_pca_align_maps_smallest_axis_to_x(rng):
+    # thin slab: z is the smallest principal axis
+    pts = rng.randn(500, 3) * np.array([3.0, 2.0, 0.05])
+    out, _, r = pca_align(pts)
+    ext = out.max(0) - out.min(0)
+    assert ext[0] == pytest.approx(ext.min())
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+
+def test_augmentor_rotates_normals_but_never_shifts_them(rng):
+    aug = Augmentor(np.random.RandomState(3))
+    pts = rng.randn(50, 3).astype(np.float32)
+    nrm = rng.randn(50, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    for _ in range(20):
+        _, n2 = aug(pts, nrm)
+        np.testing.assert_allclose(np.linalg.norm(n2, axis=1), 1.0, atol=1e-5)
+
+
+def test_canonicalize_labels():
+    labels = np.array([7, 7, 3, 100, 3, 7])
+    out = canonicalize_instance_labels(labels, max_segments=50)
+    assert out.tolist() == [1, 1, 0, 2, 0, 1]
+
+
+def test_type_remaps():
+    prim = np.arange(10)
+    tr = remap_type_labels_train(prim)
+    assert tr[9] == 0 and tr[6] == 0 and tr[7] == 0 and tr[8] == 2
+    ev = remap_type_labels_eval(prim)
+    assert ev[0] == 9 and ev[6] == 9 and ev[7] == 9 and ev[8] == 2
+
+
+def test_synthetic_shape_consistency(rng):
+    d = make_synthetic_shape(rng, n_points=400, n_segments=4)
+    assert d["points"].shape == (400, 3)
+    assert set(np.unique(d["labels"])) == {0, 1, 2, 3}
+    np.testing.assert_allclose(
+        np.linalg.norm(d["normals"], axis=1), 1.0, atol=1e-5)
+    assert d["edges"].sum() > 0  # some boundary points found
+    assert len(d["params"]) == 4
+
+
+def test_h5_roundtrip_and_loader(tmp_path):
+    root = str(tmp_path)
+    write_parsenet_h5(root, n_shapes=3, n_points=128)
+    write_edge_h5(root, n_shapes=3, n_points=128)
+
+    ds = ParseNetDataset(root, train=True, num_points=96, seed=0)
+    item = ds[0]
+    assert item["points"].shape == (96, 3)
+    assert item["labels"].max() < 50
+    assert np.abs(item["points"]).max() < 3.0
+
+    ds_edge = EdgeDataset(root, train=True, num_points=96, seed=0)
+    item2 = ds_edge[1]
+    assert item2["edges"].shape == (96,)
+    assert item2["edges_w"].max() == 1.0
+
+    mixed = MixedDataset(ds, ds_edge)
+    assert len(mixed) == 6
+    loader = BatchLoader(mixed, batch_size=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["points"].shape == (2, 96, 3)
+    assert batches[0]["prim"].dtype == np.int32
+
+
+def test_eval_mode_is_deterministic(tmp_path):
+    root = str(tmp_path)
+    write_parsenet_h5(root, n_shapes=2, n_points=64)
+    ds = ParseNetDataset(root, train=False)
+    a, b = ds[0], ds[0]
+    np.testing.assert_array_equal(a["points"], b["points"])

@@ -1,0 +1,117 @@
+"""Model-layer tests: shapes, jit-ability, gradient flow, GroupNorm parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sednet_tpu.models import SEDNet, DGCNNEncoder, SplineNet
+
+B, N, K = 2, 64, 8
+
+
+@pytest.fixture(scope="module")
+def sednet_vars():
+    model = SEDNet(emb_size=32, num_primitives=6, mode=5, k=K)
+    rng = np.random.RandomState(0)
+    pts = rng.randn(B, N, 3).astype(np.float32)
+    nrm = rng.randn(B, N, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = jnp.asarray(np.concatenate([pts, nrm], -1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables, x
+
+
+def test_sednet_shapes(sednet_vars):
+    model, variables, x = sednet_vars
+    out = jax.jit(model.apply)(variables, x)
+    assert out.embedding.shape == (B, N, 32)
+    assert out.type_log_prob.shape == (B, N, 6)
+    assert out.edge_logits.shape == (B, N, 2)
+    # log-softmax normalization
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(out.type_log_prob).sum(-1)), 1.0, atol=1e-4
+    )
+    assert np.isfinite(np.asarray(out.embedding)).all()
+
+
+def test_sednet_mode0_and_normals_head():
+    model = SEDNet(emb_size=16, num_primitives=6, mode=0, k=4, predict_normal=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.normals_pred.shape == (1, 64, 3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out.normals_pred, axis=-1)), 1.0, atol=1e-5
+    )
+
+
+def test_sednet_grads_flow(sednet_vars):
+    model, variables, x = sednet_vars
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x)
+        return (
+            jnp.sum(out.embedding ** 2)
+            + jnp.sum(out.type_log_prob)
+            + jnp.sum(out.edge_logits ** 2)
+        )
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every parameter gets a gradient signal (encoder + all heads)
+    nonzero = [float(jnp.abs(l).max()) > 0 for l in leaves]
+    assert np.mean(nonzero) > 0.95
+
+
+def test_late_fusion_stops_gradient():
+    """Gradient of the embedding w.r.t. type-head params must flow only via
+    the early-fusion (asis) path; late-fusion input is stop_gradient'd."""
+    model = SEDNet(emb_size=8, num_primitives=6, mode=0, k=4,
+                   combine_label_prim=False, late_fusion=True)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def emb_loss(params):
+        return jnp.sum(model.apply({"params": params}, x).embedding ** 2)
+
+    g = jax.grad(emb_loss)(variables["params"])
+    assert float(jnp.abs(g["mlp_prim_prob2"]["kernel"]).max()) == 0.0
+
+
+def test_encoder_output_shapes():
+    enc = DGCNNEncoder(mode=0, k=4)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 40, 3).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    g, f = enc.apply(variables, x)
+    assert g.shape == (2, 1024)
+    assert f.shape == (2, 40, 256)
+
+
+def test_splinenet_shapes_and_weighted_pool():
+    model = SplineNet(grid_size=5, k=4)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 30, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    cp = model.apply(variables, x)
+    assert cp.shape == (2, 25, 3)
+    assert (np.abs(np.asarray(cp)) <= 1.0).all()
+    w = jnp.ones((2, 30))
+    cp_w = model.apply(variables, x, weights=w)
+    np.testing.assert_allclose(np.asarray(cp_w), np.asarray(cp), atol=1e-5)
+
+
+def test_groupnorm_matches_torch():
+    """flax GroupNorm on (B, N, K, C) must match torch GroupNorm on (B, C, N, K)."""
+    import torch
+    import flax.linen as nn
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 7, 5, 64).astype(np.float32)
+    gn = nn.GroupNorm(num_groups=2)
+    variables = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(gn.apply(variables, jnp.asarray(x)))
+
+    tg = torch.nn.GroupNorm(2, 64)
+    with torch.no_grad():
+        theirs = tg(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
