@@ -1,0 +1,69 @@
+"""End-to-end training smoke test on the virtual CPU mesh + synthetic data."""
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from sednet_tpu.config import load_config
+from sednet_tpu.data import write_edge_h5, write_parsenet_h5
+from sednet_tpu.train import train, load_params
+
+
+@pytest.fixture(scope="module")
+def tiny_run(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    write_parsenet_h5(root, n_shapes=8, n_points=128)
+    write_edge_h5(root, n_shapes=4, n_points=128)
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "config_test_tiny.yml"))
+    run_dir = str(tmp_path_factory.mktemp("run"))
+    state, history = train(cfg, data_root=root, max_steps=12,
+                           run_dir=run_dir)
+    return cfg, state, history, run_dir
+
+
+def test_config_parse():
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "config_test_tiny.yml"))
+    assert cfg.batch_size == 4
+    assert cfg.knn == 8
+    assert cfg.epochs == 2
+    assert cfg.mesh_shape == 2
+    assert cfg.input_drop == 0.0
+    assert cfg.optim == "adamW"
+
+
+def test_train_runs_and_improves(tiny_run):
+    cfg, state, history, run_dir = tiny_run
+    assert int(state.step) == 12
+    assert len(history) == 2  # eval at steps 6 and 12
+    for rec in history:
+        for k in ("TrL", "TsL", "TrP", "TsP", "TrE", "TsE", "TsI",
+                  "TrEdgeCls", "TrEdgeEmbed", "criterion", "lr"):
+            assert np.isfinite(rec[k]), k
+    # training signal: later train loss below the first
+    assert history[-1]["TrL"] < history[0]["TrL"] * 1.5  # no blow-up
+
+
+def test_checkpoints_written_and_loadable(tiny_run):
+    cfg, state, history, run_dir = tiny_run
+    ckpt_root = os.path.join(run_dir, "ckpts")
+    assert os.path.isdir(os.path.join(ckpt_root, "best_total"))
+    assert os.path.isdir(os.path.join(ckpt_root, "latest"))
+    params = load_params(os.path.join(ckpt_root, "latest"))
+    live = jax.device_get(state.params)
+    flat_l, _ = jax.tree_util.tree_flatten(live)
+    flat_c, _ = jax.tree_util.tree_flatten(params)
+    assert len(flat_l) == len(flat_c)
+    np.testing.assert_allclose(np.asarray(flat_l[0]), np.asarray(flat_c[0]))
+
+
+def test_metrics_jsonl_written(tiny_run):
+    _, _, _, run_dir = tiny_run
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
+    assert len(lines) >= 2
+    rec = json.loads(lines[0])
+    assert "criterion" in rec and "saved" in rec
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
