@@ -1,0 +1,298 @@
+"""Inference: TTA forward -> HPNet spectral -> mean-shift -> matched IoU.
+
+TPU-native rebuild of reference generate_predictions_aug.py. Differences in
+design, same outputs:
+  * the reference runs shapes one at a time through Python (batch=1 loop,
+    :178-213); here the forward runs in shape batches and the clustering is
+    vmapped across shapes — the test-time throughput axis;
+  * TTA variants are extra batch rows of one compiled forward instead of
+    sequential model calls:
+      - multi_vote: x1.15 / x0.85 scaled copies, mean of type log-probs
+        (:238-261);
+      - fold5drop: 5 copies each dropping a contiguous 2000-pt fold, votes
+        scatter-added back to surviving positions, added to the base
+        log-prob (:264-304);
+      - rotate: base + y-flip rotation diag(-1,1,-1), each fold5-dropped,
+        summed (:307-362);
+  * the spectral eigvector disk cache (src/normal_smooth_cache, reference
+    smooth_normal_matrix.py:189-202) becomes an .npz cache directory.
+
+CLI: python -m sednet_tpu.predict <cfg> [NoSave] [multi_vote] [fold5drop]
+     (positional-flag compatible with the reference, readme.md:18-22)
+"""
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sednet_tpu.cluster import guard_mean_shift, hpnet_process
+from sednet_tpu.cluster.spectral import (compute_entropy,
+                                         normal_affinity_topk,
+                                         spectral_eigvecs)
+from sednet_tpu.config import Config, load_config
+from sednet_tpu.metrics import (siou_matched_segments,
+                                siou_matched_segments_usecd, to_one_hot)
+from sednet_tpu.models import SEDNet
+from sednet_tpu.train import build_model, load_params
+from sednet_tpu.utils import COLORS_TYPE, visual_labels
+
+logger = logging.getLogger("sednet_tpu.predict")
+
+Y_FLIP = np.diag([-1.0, 1.0, -1.0]).astype(np.float32)
+
+
+def _forward(model, params, x):
+    out = model.apply({"params": params}, x)
+    return out.type_log_prob, out.embedding, out.edge_logits
+
+
+def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
+                           fold5drop: bool, drop_num: int = 2000):
+    """Returns a jitted fn(params_type, x (B,N,C)) -> (B,N,6) log-probs with
+    the requested TTA (reference: generate_predictions_aug.py:238-362)."""
+    n = cfg.num_points
+    folds = n // drop_num
+
+    def base(params, x):
+        return _forward(model, params, x)[0]
+
+    def fold5(params, x):
+        """x: (B, N, C) -> summed fold-drop votes (B, N, 6)."""
+        b = x.shape[0]
+        keep = n - drop_num
+        votes = jnp.zeros((b, n, 6), x.dtype)
+        for i in range(folds):
+            mask_idx = jnp.concatenate([
+                jnp.arange(0, i * drop_num),
+                jnp.arange((i + 1) * drop_num, n)])
+            lp = base(params, x[:, mask_idx])  # (B, keep, 6)
+            votes = votes.at[:, mask_idx].add(lp)
+        return votes
+
+    def fn(params, x):
+        lp = base(params, x)
+        if multi_vote and not fold5drop:
+            big = jnp.concatenate([x[..., :3] * 1.15, x[..., 3:]], -1)
+            small = jnp.concatenate([x[..., :3] * 0.85, x[..., 3:]], -1)
+            lp = (lp + base(params, big) + base(params, small)) / 3.0
+        elif fold5drop and not multi_vote:
+            lp = lp + fold5(params, x)
+        elif fold5drop and multi_vote:
+            r = jnp.asarray(Y_FLIP)
+            total = None
+            for rot in (jnp.eye(3, dtype=x.dtype), r):
+                xr = jnp.concatenate(
+                    [x[..., :3] @ rot, x[..., 3:] @ rot], -1)
+                cur = base(params, xr) + fold5(params, xr)
+                total = cur if total is None else total + cur
+            lp = total
+        return lp
+
+    return jax.jit(fn)
+
+
+class SpectralCache:
+    """Per-shape eigvector cache (reference: smooth_normal_matrix.py:189-202)."""
+
+    def __init__(self, root: str, sigma: float, knn: int):
+        self.root, self.sigma, self.knn = root, sigma, knn
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, shape_id) -> str:
+        return os.path.join(self.root,
+                            f"Us_{shape_id}_{self.sigma}_{self.knn}.npz")
+
+    def get(self, shape_id):
+        p = self.path(shape_id)
+        if os.path.exists(p):
+            d = np.load(p)
+            return jnp.asarray(d["v"]), jnp.asarray(d["ent"])
+        return None
+
+    def put(self, shape_id, v, ent):
+        np.savez(self.path(shape_id), v=np.asarray(v), ent=np.asarray(ent))
+
+
+def spectral_embed(xyz, normals, cfg: Config, shape_id=None,
+                   cache: SpectralCache | None = None,
+                   key=None):
+    """Eigvecs + entropy with optional disk cache."""
+    cached = cache.get(shape_id) if (cache and shape_id is not None) else None
+    if cached is not None:
+        return cached
+    key = key if key is not None else jax.random.PRNGKey(0)
+    aff = normal_affinity_topk(xyz, normals, sigma=cfg.spectral_sigma,
+                               k=cfg.spectral_knn)
+    v = spectral_eigvecs(aff, key, k=cfg.spectral_eigvecs)
+    ent = compute_entropy(v)
+    if cache is not None and shape_id is not None:
+        cache.put(shape_id, v, ent)
+    return v, ent
+
+
+def predict_shapes(
+    model: SEDNet,
+    params_type,
+    params_inst,
+    batch: dict,
+    cfg: Config,
+    *,
+    key,
+    multi_vote: bool = False,
+    fold5drop: bool = False,
+    cache: SpectralCache | None = None,
+    shape_ids=None,
+    tta_fn=None,
+):
+    """Run the full per-shape pipeline on a batch dict; returns a list of
+    per-shape result dicts (cluster ids, pred types, metrics)."""
+    x = np.concatenate([batch["points"], batch["normals"]], -1).astype(
+        np.float32) if cfg.normals else batch["points"].astype(np.float32)
+    x = jnp.asarray(x)
+
+    if tta_fn is None:
+        tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
+    type_lp = tta_fn(params_type, x)                      # (B, N, 6)
+    _, embedding, edge_logits = jax.jit(
+        functools.partial(_forward, model))(params_inst, x)
+
+    results = []
+    b = x.shape[0]
+    for i in range(b):
+        sid = shape_ids[i] if shape_ids is not None else None
+        emb_i = embedding[i]
+        if cfg.hpnet_embed:
+            v, ent = spectral_embed(x[i, :, :3], jnp.asarray(
+                batch["normals"][i]), cfg, sid, cache,
+                key=jax.random.fold_in(key, i))
+            emb_i = hpnet_process(
+                emb_i, x[i, :, :3], jnp.asarray(batch["normals"][i]),
+                normal_smooth_w=cfg.normal_smooth_w,
+                cached_eigvecs=v, cached_eig_entropy=ent)
+        emb_i = emb_i / jnp.clip(
+            jnp.linalg.norm(emb_i, axis=-1, keepdims=True), min=1e-12)
+        res = guard_mean_shift(
+            jax.random.fold_in(key, 1000 + i), emb_i,
+            num_samples=min(cfg.ms_num_samples, cfg.num_points),
+            quantile=cfg.ms_quantile, iterations=cfg.ms_iterations,
+            max_clusters=cfg.ms_max_clusters - 1,
+            retry_factor=cfg.ms_retry_factor)
+        cluster_ids = np.asarray(res.labels)
+        pred_prim = np.asarray(type_lp[i].argmax(-1))
+
+        weights = to_one_hot(cluster_ids, max(int(res.num_clusters), 1))
+        s_iou, p_iou, _, _, s_recall = siou_matched_segments_usecd(
+            batch["labels"][i].astype(np.int64), cluster_ids,
+            pred_prim.astype(np.int64),
+            batch["prim"][i].astype(np.int64), weights, batch["points"][i])
+        results.append({
+            "cluster_ids": cluster_ids,
+            "pred_primitives": pred_prim,
+            "edge_prob": np.asarray(jax.nn.softmax(edge_logits[i], -1)),
+            "inst_iou": s_iou,
+            "type_iou": p_iou,
+            "inst_recall": s_recall,
+            "num_clusters": int(res.num_clusters),
+        })
+    return results
+
+
+def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict):
+    """txt dumps matching the reference's vocabulary
+    (generate_predictions_aug.py:416-437)."""
+    os.makedirs(out_dir, exist_ok=True)
+    np.savetxt(os.path.join(out_dir, f"{shape_id}_inst.txt"),
+               result["cluster_ids"], fmt="%d")
+    np.savetxt(os.path.join(out_dir, f"{shape_id}_type.txt"),
+               result["pred_primitives"], fmt="%d")
+    pts = batch_i["points"]
+    np.savetxt(os.path.join(out_dir, f"{shape_id}_Vis_type.txt"),
+               visual_labels(pts, result["pred_primitives"]),
+               fmt="%0.4f", delimiter=";")
+    np.savetxt(os.path.join(out_dir, f"{shape_id}_Vis_inst.txt"),
+               visual_labels(pts, result["cluster_ids"]),
+               fmt="%0.4f", delimiter=";")
+    np.savetxt(os.path.join(out_dir, f"{shape_id}_edge.txt"),
+               result["edge_prob"], fmt="%0.4f", delimiter=";")
+    np.savetxt(os.path.join(out_dir, f"{shape_id}_GT_points.txt"),
+               np.concatenate([pts, batch_i["normals"]], -1),
+               fmt="%0.4f", delimiter=";")
+
+
+def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
+                   multi_vote=False, fold5drop=False, out_dir=None,
+                   batch_size=8, limit=None, params_type=None,
+                   params_inst=None):
+    from sednet_tpu.data import BatchLoader, ParseNetDataset
+
+    logging.basicConfig(level=logging.INFO)
+    model = build_model(cfg)
+    if params_type is None:
+        params_type = load_params(cfg.pretrain_model_path)
+        if "params" in params_type:
+            params_type = params_type["params"]
+    if params_inst is None:
+        params_inst = load_params(cfg.pretrain_model_type_path)
+        if "params" in params_inst:
+            params_inst = params_inst["params"]
+
+    ds = ParseNetDataset(data_root, train=False, normals=cfg.normals,
+                         num_points=cfg.num_points,
+                         max_segments=cfg.ms_max_clusters)
+    loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False)
+    out_dir = out_dir or "predictions/results"
+    cache = SpectralCache(os.path.join(out_dir, "normal_smooth_cache"),
+                          cfg.spectral_sigma, cfg.spectral_knn)
+    tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    all_metrics = []
+    sid = 0
+    for batch in loader:
+        ids = list(range(sid, sid + batch["points"].shape[0]))
+        results = predict_shapes(model, params_type, params_inst, batch, cfg,
+                                 key=key, multi_vote=multi_vote,
+                                 fold5drop=fold5drop, cache=cache,
+                                 shape_ids=ids, tta_fn=tta_fn)
+        for i, r in enumerate(results):
+            logger.info("ID:%d | inst_iou: %s type_iou: %s inst_recall: %s",
+                        ids[i], r["inst_iou"], r["type_iou"], r["inst_recall"])
+            all_metrics.append(r)
+            if save_viz:
+                item = {k: batch[k][i] for k in batch}
+                save_shape_outputs(out_dir, ids[i], item, r)
+        sid += len(results)
+        if limit and sid >= limit:
+            break
+
+    summary = {
+        "inst_iou": float(np.mean([m["inst_iou"] for m in all_metrics])),
+        "type_iou": float(np.mean([m["type_iou"] for m in all_metrics])),
+        "inst_recall": float(np.mean([m["inst_recall"]
+                                      for m in all_metrics])),
+        "n_shapes": len(all_metrics),
+    }
+    logger.info("===========> %s", summary)
+    return summary, all_metrics
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = load_config(argv[0])
+    save_viz = not (len(argv) > 1 and argv[1] == "NoSave")
+    multi_vote = len(argv) > 2 and argv[2] == "multi_vote"
+    fold5drop = len(argv) > 3 and argv[3] == "fold5drop"
+    run_prediction(cfg, save_viz=save_viz, multi_vote=multi_vote,
+                   fold5drop=fold5drop)
+
+
+if __name__ == "__main__":
+    main()

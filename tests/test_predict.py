@@ -1,0 +1,137 @@
+"""Inference pipeline tests: TTA math, end-to-end predict on synthetic data."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sednet_tpu.config import Config
+from sednet_tpu.data import write_parsenet_h5
+from sednet_tpu.models import SEDNet
+from sednet_tpu.predict import (SpectralCache, make_tta_type_log_prob,
+                                predict_shapes, run_prediction)
+from sednet_tpu.train import build_model
+
+
+N, K = 100, 4
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = Config(num_points=N, knn=K, embed=16, hpnet_embed=False,
+                 spectral_knn=10, spectral_eigvecs=4, ms_num_samples=N,
+                 edge_topk=16)
+    model = build_model(cfg)
+    x = jnp.zeros((1, N, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    return cfg, model, params
+
+
+def _batch(rng, b=2):
+    from sednet_tpu.data import make_synthetic_shape, normalize_points, pca_align
+
+    items = []
+    for _ in range(b):
+        d = make_synthetic_shape(rng, n_points=N, n_segments=3)
+        pts = normalize_points(d["points"])
+        pts, nrm, _ = pca_align(pts, d["normals"])
+        items.append({"points": pts.astype(np.float32),
+                      "normals": nrm.astype(np.float32),
+                      "labels": d["labels"], "prim": d["prim"]})
+    return {k: np.stack([i[k] for i in items]) for k in items[0]}
+
+
+def test_tta_plain_equals_forward(small_model, rng):
+    cfg, model, params = small_model
+    batch = _batch(rng, 1)
+    x = jnp.asarray(np.concatenate([batch["points"], batch["normals"]], -1))
+    plain = make_tta_type_log_prob(model, cfg, False, False)(params, x)
+    direct = model.apply({"params": params}, x).type_log_prob
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(direct),
+                               atol=1e-5)
+
+
+def test_tta_multivote_averages(small_model, rng):
+    cfg, model, params = small_model
+    batch = _batch(rng, 1)
+    x = jnp.asarray(np.concatenate([batch["points"], batch["normals"]], -1))
+    mv = make_tta_type_log_prob(model, cfg, True, False)(params, x)
+
+    def fwd(xx):
+        return model.apply({"params": params}, xx).type_log_prob
+
+    big = jnp.concatenate([x[..., :3] * 1.15, x[..., 3:]], -1)
+    small = jnp.concatenate([x[..., :3] * 0.85, x[..., 3:]], -1)
+    ref = (fwd(x) + fwd(big) + fwd(small)) / 3.0
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(ref), atol=1e-5)
+
+
+def test_tta_fold5drop_scatters_votes(small_model, rng):
+    cfg, model, params = small_model
+    batch = _batch(rng, 1)
+    x = jnp.asarray(np.concatenate([batch["points"], batch["normals"]], -1))
+    drop = N // 5
+    out = make_tta_type_log_prob(model, cfg, False, True,
+                                 drop_num=drop)(params, x)
+
+    def fwd(xx):
+        return np.asarray(model.apply({"params": params}, xx).type_log_prob)
+
+    ref = fwd(x).copy()
+    votes = np.zeros_like(ref)
+    for i in range(5):
+        keep = np.r_[0: i * drop, (i + 1) * drop: N]
+        votes[:, keep] += fwd(x[:, keep])
+    ref += votes
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_predict_shapes_high_iou_with_oracle_embedding(rng):
+    """With a model whose embedding head is replaced by an oracle (one-hot of
+    gt segment), the pipeline must produce near-perfect instance IoU —
+    validates clustering + matching + metrics wiring end to end."""
+    from sednet_tpu.cluster import guard_mean_shift
+    from sednet_tpu.metrics import siou_matched_segments_usecd, to_one_hot
+
+    batch = _batch(rng, 1)
+    gt = batch["labels"][0]
+    emb = np.eye(8, dtype=np.float32)[gt] + 0.01 * rng.randn(N, 8).astype(
+        np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    res = guard_mean_shift(jax.random.PRNGKey(0), jnp.asarray(emb),
+                           num_samples=N, quantile=0.05, iterations=20)
+    cluster_ids = np.asarray(res.labels)
+    w = to_one_hot(cluster_ids, max(int(res.num_clusters), 1))
+    s_iou, _, _, _, recall = siou_matched_segments_usecd(
+        gt.astype(np.int64), cluster_ids,
+        batch["prim"][0].astype(np.int64), batch["prim"][0].astype(np.int64),
+        w, batch["points"][0])
+    assert s_iou > 0.99
+    assert recall == pytest.approx(1.0)
+
+
+def test_run_prediction_end_to_end(tmp_path, small_model):
+    cfg, model, params = small_model
+    root = str(tmp_path)
+    write_parsenet_h5(root, n_shapes=2, n_points=N)
+    out_dir = os.path.join(root, "out")
+    summary, results = run_prediction(
+        cfg, data_root=root, save_viz=True, out_dir=out_dir, batch_size=2,
+        params_type=params, params_inst=params)
+    assert summary["n_shapes"] == 2
+    assert np.isfinite(summary["inst_iou"])
+    for sid in range(2):
+        for suffix in ("inst", "type", "Vis_inst", "Vis_type", "edge",
+                       "GT_points"):
+            assert os.path.exists(os.path.join(out_dir, f"{sid}_{suffix}.txt"))
+
+
+def test_spectral_cache_roundtrip(tmp_path):
+    cache = SpectralCache(str(tmp_path), 0.1, 50)
+    v = jnp.ones((10, 4))
+    cache.put(3, v, jnp.float32(0.5))
+    v2, ent = cache.get(3)
+    np.testing.assert_allclose(np.asarray(v2), 1.0)
+    assert float(ent) == 0.5
+    assert cache.get(99) is None
