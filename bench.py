@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-BASELINE_SHAPES_PER_SEC = 0.144  # round-1 measurement on one v5e chip
+BASELINE_SHAPES_PER_SEC = 2.371  # round-1 measurement on one v5e chip
 
 BATCH = 8
 N_POINTS = 10000
@@ -47,18 +47,24 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x[:1])
 
     @jax.jit
-    def pipeline(v, xx, key):
+    def forward(v, xx):
         out = model.apply(v, xx)
         emb = out.embedding / jnp.clip(
             jnp.linalg.norm(out.embedding, axis=-1, keepdims=True), min=1e-12)
+        return emb, out.type_log_prob.argmax(-1)
 
-        def cluster_one(e, k):
-            return guard_mean_shift(k, e, num_samples=5000, quantile=0.015,
-                                    iterations=50).labels
+    @jax.jit
+    def cluster_one(e, k):
+        # single-shape clustering program; invoked per shape (a vmapped
+        # while_loop version compiles pathologically slowly)
+        return guard_mean_shift(k, e, num_samples=5000, quantile=0.015,
+                                iterations=50).labels
 
-        keys = jax.random.split(key, xx.shape[0])
-        labels = jax.vmap(cluster_one)(emb, keys)
-        return labels, out.type_log_prob.argmax(-1)
+    def pipeline(v, xx, key):
+        emb, types = forward(v, xx)
+        labels = [cluster_one(emb[i], jax.random.fold_in(key, i))
+                  for i in range(xx.shape[0])]
+        return jnp.stack(labels), types
 
     # warm up / compile
     labels, types = pipeline(variables, x, jax.random.PRNGKey(1))

@@ -13,6 +13,27 @@ from sednet_tpu.fit.residuals import (
     distance_from_torus,
     residual_loss,
 )
+from sednet_tpu.fit.bspline import (
+    uniform_knot_bspline,
+    sample_from_control_grid,
+    standardize_points,
+    reverse_transformation,
+    fit_control_points_kronecker,
+)
+from sednet_tpu.fit.evaluation import (
+    Evaluation,
+    match,
+    p_coverage,
+    separate_losses,
+    weights_normalize,
+)
+from sednet_tpu.fit.driver import (
+    FittingModule,
+    fit_one_shape,
+    remove_outliers,
+    up_sample_points_in_range,
+    optimize_spline_kronecker,
+)
 from sednet_tpu.fit.samplers import (
     sample_plane,
     sample_sphere,

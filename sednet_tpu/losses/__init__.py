@@ -9,3 +9,10 @@ from sednet_tpu.losses.type_loss import (
     primitive_nll,
     evaluate_type_miou,
 )
+from sednet_tpu.losses.spline import (
+    control_points_permute_loss,
+    control_points_permute_closed_loss,
+    spline_reconstruction_loss,
+    spline_reconstruction_loss_one_sided,
+    laplacian_loss,
+)
