@@ -70,12 +70,29 @@ def _kernel(dist, b, kernel_type: str):
     return jax.nn.relu(0.75 * (1.0 - dist / (b * b)))
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "kernel_type"))
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "kernel_type", "backend"))
 def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
-                       kernel_type: str = "gaussian") -> jax.Array:
+                       kernel_type: str = "gaussian",
+                       backend: str = "auto") -> jax.Array:
     """Fixed-trip mean-shift updates (reference: src/mean_shift.py:45-79).
 
-    x: (N, E), assumed unit-norm. Returns shifted (N, E)."""
+    x: (N, E), assumed unit-norm. Returns shifted (N, E).
+
+    backend "pallas" uses the fused flash-style step (gaussian kernel on TPU:
+    no N x N matrix in HBM, see sednet_tpu.ops.pallas_kernels); "xla" is the
+    reference-shaped fallback; "auto" picks pallas on TPU."""
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and kernel_type == "gaussian" else "xla")
+
+    if backend == "pallas":
+        from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas
+
+        def body(_, new_x):
+            return mean_shift_step_pallas(new_x, x, bandwidth)
+
+        return lax.fori_loop(0, iterations, body, x)
 
     def body(_, new_x):
         dist = 2.0 - 2.0 * _dotT(new_x, x)

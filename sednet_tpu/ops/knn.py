@@ -58,7 +58,40 @@ def _points_normals_sqdist(q: jax.Array, p: jax.Array, w: float) -> jax.Array:
     return dp * (1.0 + w * dn)
 
 
-def _blocked_topk_neighbors(x, metric_fn, k, row_block):
+def _row_topk(neg_d: jax.Array, k: int, method: str) -> jax.Array:
+    """Top-k (largest) per row of neg_d (R, N) -> (R, k) int32 indices.
+
+    method "hier": exact two-stage — per column-chunk top-k then top-k over
+    the k*chunks candidates. Exact because every true top-k element is in
+    its chunk's top-k. ~1.6x faster than one big top_k on TPU (the sort is
+    the cost, not the matmul) and compiles faster.
+    method "exact": single lax.top_k. method "approx": TPU ApproxTopK
+    (recall ~0.95-0.98 at k=64/N=10000; NOT bit-parity with the reference).
+    """
+    r, n = neg_d.shape
+    if method == "approx":
+        _, idx = lax.approx_max_k(neg_d, k, recall_target=0.95)
+        return idx.astype(jnp.int32)
+    chunk = 2048
+    if method == "hier" and n >= 2 * chunk and n % 128 == 0:
+        # choose a chunk count that divides n
+        c = max(n // chunk, 1)
+        while n % c != 0:
+            c -= 1
+        m = n // c
+        if c > 1 and m >= k:
+            dc = neg_d.reshape(r, c, m)
+            vals, idx = lax.top_k(dc, k)                       # (R, C, k)
+            base = (jnp.arange(c, dtype=jnp.int32) * m)[None, :, None]
+            cand_idx = (idx.astype(jnp.int32) + base).reshape(r, c * k)
+            cand_vals = vals.reshape(r, c * k)
+            _, sel = lax.top_k(cand_vals, k)
+            return jnp.take_along_axis(cand_idx, sel, axis=1)
+    _, idx = lax.top_k(neg_d, k)
+    return idx.astype(jnp.int32)
+
+
+def _blocked_topk_neighbors(x, metric_fn, k, row_block, method="hier"):
     """Row-block streaming top-k of -metric over all N columns.
 
     x: (N, D). Returns (N, k) int32 neighbour indices, nearest first.
@@ -73,8 +106,7 @@ def _blocked_topk_neighbors(x, metric_fn, k, row_block):
     def block(start):
         q = lax.dynamic_slice_in_dim(x_q, start, rb)
         d = metric_fn(q, x)  # (rb, N)
-        _, idx = lax.top_k(-d, k)
-        return idx.astype(jnp.int32)
+        return _row_topk(-d, k, method)
 
     starts = jnp.arange(n_pad // rb, dtype=jnp.int32) * rb
     idx = lax.map(block, starts)  # (nblocks, rb, k)
@@ -88,8 +120,9 @@ def _dilate(idx_k2: jax.Array, k1: int, k2: int) -> jax.Array:
     return idx_k2[..., ::stride][..., :k1]
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "row_block"))
-def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *, row_block: int = 512) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "row_block", "method"))
+def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *,
+                row_block: int = 512, method: str = "hier") -> jax.Array:
     """Batched kNN under squared-euclidean distance.
 
     x: (B, N, D) float. Returns (B, N, k1) int32 — for each point, the
@@ -102,12 +135,14 @@ def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *, row_block: int 
         metric_fn=pairwise_sqdist,
         k=k2,
         row_block=row_block,
+        method=method,
     )
     return _dilate(jax.vmap(f)(x), k1, k2)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k1", "k2", "row_block", "normal_metric_w")
+    jax.jit, static_argnames=("k1", "k2", "row_block", "normal_metric_w",
+                              "method")
 )
 def knn_indices_points_normals(
     x: jax.Array,
@@ -116,6 +151,7 @@ def knn_indices_points_normals(
     *,
     normal_metric_w: float = 1.0,
     row_block: int = 512,
+    method: str = "hier",
 ) -> jax.Array:
     """Batched kNN under the position*(1+W*normal) metric.
 
@@ -124,6 +160,7 @@ def knn_indices_points_normals(
     k2 = k1 if k2 is None else k2
     metric = functools.partial(_points_normals_sqdist, w=normal_metric_w)
     f = functools.partial(
-        _blocked_topk_neighbors, metric_fn=metric, k=k2, row_block=row_block
+        _blocked_topk_neighbors, metric_fn=metric, k=k2, row_block=row_block,
+        method=method,
     )
     return _dilate(jax.vmap(f)(x), k1, k2)

@@ -1,0 +1,102 @@
+"""Pallas TPU kernels for the O(N^2) hot loops.
+
+mean_shift_step: one fused mean-shift iteration
+    new_X <- rownorm( (K @ X) / K.1 ),  K = exp(-(2 - 2 q.X^T) / (2 b^2))
+Flash-attention-style streaming: the (N x N) kernel matrix never touches
+HBM — each (row-block x col-block) tile of K lives briefly in VMEM, feeding
+an accumulated numerator (RB, E) and denominator (RB, 1). The pure-XLA
+version (reference semantics: src/mean_shift.py:45-79) writes ~2*N^2*4 bytes
+per iteration; at N=10k, 50 iterations that is ~40 GB of HBM traffic this
+kernel eliminates.
+
+The exponent is clamped at -75 like the reference's guard_exp
+(src/guard.py:7-10); since inputs are unit vectors the argument is <= 0, so
+no +clamp is needed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _ms_kernel(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
+               num_acc, den_acc):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        num_acc[:] = jnp.zeros_like(num_acc)
+        den_acc[:] = jnp.zeros_like(den_acc)
+
+    q = q_ref[:]                                   # (RB, E)
+    x = x_ref[:]                                   # (CB, E)
+    s = lax.dot_general(q, x, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (RB, CB)
+    arg = jnp.maximum((s - 1.0) * inv2b2_ref[0, 0], -75.0)
+    k = jnp.exp(arg)
+    # mask padded columns (fake zero points)
+    cb = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1) + j * cb
+    k = jnp.where(col < n_valid_ref[0, 0], k, 0.0)
+
+    num_acc[:] += jnp.dot(k, x, preferred_element_type=jnp.float32)
+    den_acc[:] += jnp.sum(k, axis=1, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out = num_acc[:] / jnp.maximum(den_acc[:], 1e-30)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(out * out, 1, keepdims=True),
+                                    1e-24))
+        out_ref[:] = out / norm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block", "interpret"))
+def mean_shift_step_pallas(new_x: jax.Array, x: jax.Array,
+                           bandwidth: jax.Array, *, row_block: int = 512,
+                           col_block: int = 1024,
+                           interpret: bool = False) -> jax.Array:
+    """One fused mean-shift update. new_x, x: (N, E) unit rows."""
+    n, e = x.shape
+    rb = min(row_block, _round_up(n, 8))
+    cb = min(col_block, _round_up(n, 128))
+    n_rows = _round_up(n, rb)
+    n_cols = _round_up(n, cb)
+    q_pad = jnp.pad(new_x, ((0, n_rows - n), (0, 0)))
+    x_pad = jnp.pad(x, ((0, n_cols - n), (0, 0)))
+    inv2b2 = (1.0 / (bandwidth * bandwidth)).reshape(1, 1).astype(jnp.float32)
+    n_valid = jnp.full((1, 1), n, jnp.int32)
+
+    out = pl.pallas_call(
+        _ms_kernel,
+        grid=(n_rows // rb, n_cols // cb),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, e), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, e), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, e), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rows, e), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rb, e), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(inv2b2, n_valid, q_pad, x_pad)
+    return out[:n]

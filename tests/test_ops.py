@@ -73,6 +73,15 @@ def test_knn_points_normals_metric(rng):
         assert set(idx[0, i].tolist()) == set(ref[0, i].tolist()), i
 
 
+def test_knn_hier_matches_exact(rng):
+    # N large enough to trigger the hierarchical path (needs >= 2 chunks)
+    x = rng.randn(1, 4096, 3).astype(np.float32)
+    hier = np.asarray(knn_indices(jnp.asarray(x), 16, method="hier"))
+    exact = np.asarray(knn_indices(jnp.asarray(x), 16, method="exact"))
+    for i in range(0, 4096, 97):
+        assert set(hier[0, i].tolist()) == set(exact[0, i].tolist()), i
+
+
 def test_knn_dilation(rng):
     x = rng.randn(1, 64, 3).astype(np.float32)
     idx_full = np.asarray(knn_indices(jnp.asarray(x), 16, 16))
