@@ -35,7 +35,8 @@ class _H5Dataset:
 
     def __init__(self, points, labels, normals, prim, edges=None, edges_w=None,
                  *, train=False, augment=True, noise=False, noise_level=0,
-                 num_points=10000, max_segments=50, seed=0):
+                 num_points=10000, max_segments=50, seed=0,
+                 use_native=False):
         self.points = points.astype(np.float32)
         self.points -= self.points.mean(1, keepdims=True)
         self.labels = labels
@@ -51,6 +52,12 @@ class _H5Dataset:
         self.max_segments = max_segments
         self.rng = np.random.RandomState(seed)
         self.augmentor = Augmentor(self.rng)
+        if use_native:
+            from sednet_tpu.data import native
+
+            self.use_native = native.available()
+        else:
+            self.use_native = False
 
     def __len__(self):
         return self.points.shape[0]
@@ -58,12 +65,23 @@ class _H5Dataset:
     def __getitem__(self, index: int) -> dict:
         pts = self.points[index].copy()
         nrm = None if self.normals is None else self.normals[index].copy()
-        extent = pts.max(0) - pts.min(0)
-        pts = pts / (extent.max() + EPS)
+        if self.use_native:
+            # fused C++ path: normalize + augment + PCA align
+            from sednet_tpu.data import native
 
-        if self.augment:
-            pts, nrm = self.augmentor(pts, nrm)
-        pts, nrm, _ = pca_align(pts, nrm)
+            p, n2 = native.preprocess_batch(
+                pts[None], None if nrm is None else nrm[None],
+                augment=self.augment,
+                seed=int(self.rng.randint(0, 2 ** 31)), threads=1)
+            pts = p[0]
+            nrm = None if n2 is None else n2[0]
+        else:
+            extent = pts.max(0) - pts.min(0)
+            pts = pts / (extent.max() + EPS)
+
+            if self.augment:
+                pts, nrm = self.augmentor(pts, nrm)
+            pts, nrm, _ = pca_align(pts, nrm)
 
         if self.noise:
             if self.noise_level == -1:

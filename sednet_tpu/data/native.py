@@ -1,0 +1,71 @@
+"""ctypes binding for the native preprocessing library (native/preprocess.cpp).
+
+Builds lazily with `make -C native` if the .so is missing and a compiler is
+available; falls back silently to the numpy pipeline otherwise. The native
+path fuses mean-center -> max-extent normalize -> augment -> PCA canonical
+alignment per batch item with a C++ thread pool (the reference's equivalent
+host machinery is the num_workers=8 torch DataLoader, train_sed_net.py:185).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libsednet_preprocess.so")
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.sednet_preprocess_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int]
+        lib.sednet_preprocess_batch.restype = None
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def preprocess_batch(points: np.ndarray, normals: np.ndarray | None, *,
+                     augment: bool = False, seed: int = 0,
+                     threads: int = 8):
+    """In-place fused preprocessing of (B, N, 3) float32 arrays.
+    Returns (points, normals). Raises RuntimeError if the library is
+    unavailable — call available() first."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native preprocessing library unavailable")
+    points = np.ascontiguousarray(points, np.float32)
+    b, n, _ = points.shape
+    if normals is not None:
+        normals = np.ascontiguousarray(normals, np.float32)
+        nrm_ptr = normals.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        nrm_ptr = ctypes.POINTER(ctypes.c_float)()
+    lib.sednet_preprocess_batch(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nrm_ptr,
+        b, n, int(augment), seed, threads)
+    return points, normals
