@@ -1,18 +1,20 @@
 """Benchmark: end-to-end shapes/sec/chip on 10k-point clouds.
 
-Runs the inference pipeline (SEDNet forward + mean-shift instance
-clustering) on a batch of synthetic 10k-point shapes on the attached TPU and
-prints ONE JSON line:
+Default: runs the headline config (batched inference: SEDNet forward +
+mean-shift instance clustering, batch of 8 x 10k points) on the attached
+TPU and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "shapes/sec/chip", "vs_baseline": N}
 
-vs_baseline divides by BASELINE_SHAPES_PER_SEC below (no published numbers
-exist in the reference — BASELINE.json "published" is empty — so the
-denominator is our recorded round-1 measurement; later rounds show progress
-against it).
+--all additionally measures the other BASELINE.json configs (single-shape
+forward, full pipeline with fits + residuals, multi-vote TTA, training
+step) and prints one JSON line per config BEFORE the headline line.
+
+vs_baseline divides by BASELINE_SHAPES_PER_SEC (the recorded round-1
+measurement — the reference publishes no numbers, BASELINE.json
+"published" is empty).
 """
+import argparse
 import json
-import os
-import sys
 import time
 
 import numpy as np
@@ -23,26 +25,48 @@ BATCH = 8
 N_POINTS = 10000
 
 
+def _shapes(rng, n):
+    from sednet_tpu.data import make_synthetic_shape, normalize_points, pca_align
+
+    out = []
+    for _ in range(n):
+        d = make_synthetic_shape(rng, n_points=N_POINTS, n_segments=6)
+        pts = normalize_points(d["points"])
+        pts, nrm, _ = pca_align(pts, d["normals"])
+        out.append({**d, "points": pts.astype(np.float32),
+                    "normals": nrm.astype(np.float32)})
+    return out
+
+
+def _time(fn, *args, iters=3):
+    fn(*args)  # warm-up/compile
+    t0 = time.time()
+    r = None
+    for _ in range(iters):
+        r = fn(*args)
+    np.asarray(r)  # force completion through the relay
+    return (time.time() - t0) / iters
+
+
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--all", action="store_true")
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from sednet_tpu.config import Config
     from sednet_tpu.cluster import guard_mean_shift
-    from sednet_tpu.data import make_synthetic_shape, normalize_points, pca_align
     from sednet_tpu.train import build_model
 
     cfg = Config(num_points=N_POINTS, knn=64, embed=128)
     model = build_model(cfg)
 
     rng = np.random.RandomState(0)
-    xs = []
-    for _ in range(BATCH):
-        d = make_synthetic_shape(rng, n_points=N_POINTS, n_segments=6)
-        pts = normalize_points(d["points"])
-        pts, nrm, _ = pca_align(pts, d["normals"])
-        xs.append(np.concatenate([pts, nrm], -1).astype(np.float32))
-    x = jnp.asarray(np.stack(xs))
+    shapes = _shapes(rng, BATCH)
+    x = jnp.asarray(np.stack([
+        np.concatenate([s["points"], s["normals"]], -1) for s in shapes]))
 
     variables = model.init(jax.random.PRNGKey(0), x[:1])
 
@@ -51,7 +75,7 @@ def main():
         out = model.apply(v, xx)
         emb = out.embedding / jnp.clip(
             jnp.linalg.norm(out.embedding, axis=-1, keepdims=True), min=1e-12)
-        return emb, out.type_log_prob.argmax(-1)
+        return emb, out.type_log_prob, out.edge_logits
 
     @jax.jit
     def cluster_one(e, k):
@@ -61,23 +85,100 @@ def main():
                                 iterations=50).labels
 
     def pipeline(v, xx, key):
-        emb, types = forward(v, xx)
+        emb, type_lp, _ = forward(v, xx)
         labels = [cluster_one(emb[i], jax.random.fold_in(key, i))
                   for i in range(xx.shape[0])]
-        return jnp.stack(labels), types
+        return jnp.stack(labels), type_lp.argmax(-1)
 
-    # warm up / compile
+    results = []
+
+    if args.all:
+        # 1. single-shape backbone forward
+        dt = _time(lambda: forward(variables, x[:1])[0], iters=5)
+        results.append({"metric": "single-shape forward (10k pts)",
+                        "value": round(1.0 / dt, 3), "unit": "shapes/sec"})
+
+        # 3. full pipeline: clustering + batched fits + residual eval
+        from sednet_tpu.fit import Evaluation, FittingModule
+
+        ev = Evaluation(FittingModule())
+
+        def full_pipeline():
+            labels, types = pipeline(variables, x, jax.random.PRNGKey(3))
+            labels, types = np.asarray(labels), np.asarray(types)
+            for i, s in enumerate(shapes):
+                ev.residual_eval_mode(s["points"], s["normals"],
+                                      s["labels"].astype(np.int64),
+                                      labels[i], types[i])
+            return labels
+
+        full_pipeline()
+        t0 = time.time()
+        full_pipeline()
+        dt_full = time.time() - t0
+        results.append({"metric":
+                        "full pipeline (cluster + fits + residuals)",
+                        "value": round(BATCH / dt_full, 3),
+                        "unit": "shapes/sec/chip"})
+
+        # 4. multi-vote TTA pipeline
+        from sednet_tpu.predict import make_tta_type_log_prob
+
+        tta = make_tta_type_log_prob(model, cfg, True, False)
+
+        def tta_pipeline(key):
+            lp = tta(variables["params"], x)
+            emb, _, _ = forward(variables, x)
+            labels = [cluster_one(emb[i], jax.random.fold_in(key, i))
+                      for i in range(BATCH)]
+            return jnp.stack(labels)
+
+        dt = _time(tta_pipeline, jax.random.PRNGKey(4))
+        results.append({"metric": "multi-vote TTA pipeline",
+                        "value": round(BATCH / dt, 3),
+                        "unit": "shapes/sec/chip"})
+
+        # 5. training step (4-term loss)
+        from sednet_tpu.train import TrainState, make_optimizer, make_train_step
+
+        opt = make_optimizer(cfg)
+        params = variables["params"]
+        state = TrainState(params, opt.init(params), jnp.int32(0))
+        step = make_train_step(model, opt, cfg)
+        batch = {
+            "points": x[:4, :, :3], "normals": x[:4, :, 3:],
+            "labels": jnp.asarray(np.stack(
+                [s["labels"] for s in shapes[:4]]).astype(np.int32)),
+            "prim": jnp.asarray(np.stack(
+                [s["prim"] for s in shapes[:4]]).astype(np.int32)),
+            "edges": jnp.asarray(np.stack(
+                [s["edges"] for s in shapes[:4]]).astype(np.int32)),
+            "edges_w": jnp.asarray(np.stack(
+                [s["edges_w"] for s in shapes[:4]]).astype(np.float32)),
+        }
+
+        def train_once(key):
+            s2, metrics = step(state, batch, key)
+            return metrics["loss"]
+
+        dt = _time(train_once, jax.random.PRNGKey(5))
+        results.append({"metric": "train step (batch 4, 4-term loss)",
+                        "value": round(4.0 / dt, 3),
+                        "unit": "shapes/sec/chip"})
+
+    # headline (config 2): batched inference, forward + mean-shift
     labels, types = pipeline(variables, x, jax.random.PRNGKey(1))
     _ = np.asarray(labels)
-
     t0 = time.time()
     iters = 3
     for i in range(iters):
         labels, types = pipeline(variables, x, jax.random.PRNGKey(2 + i))
-    _ = np.asarray(labels)  # forces completion (axon relay: block is a no-op)
+    _ = np.asarray(labels)
     dt = (time.time() - t0) / iters
-
     shapes_per_sec = BATCH / dt
+
+    for r in results:
+        print(json.dumps(r))
     print(json.dumps({
         "metric": "End-to-end shapes/sec/chip (10k-pt clouds), forward + mean-shift",
         "value": round(shapes_per_sec, 4),
