@@ -205,7 +205,8 @@ def predict_shapes(
     return results
 
 
-def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict):
+def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict,
+                       save_gt: bool = True):
     """txt dumps matching the reference's vocabulary
     (generate_predictions_aug.py:416-437)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -213,6 +214,11 @@ def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict):
                result["cluster_ids"], fmt="%d")
     np.savetxt(os.path.join(out_dir, f"{shape_id}_type.txt"),
                result["pred_primitives"], fmt="%d")
+    if save_gt:
+        np.savetxt(os.path.join(out_dir, f"{shape_id}_GT_inst.txt"),
+                   batch_i["labels"], fmt="%d")
+        np.savetxt(os.path.join(out_dir, f"{shape_id}_GT_type.txt"),
+                   batch_i["prim"], fmt="%d")
     pts = batch_i["points"]
     np.savetxt(os.path.join(out_dir, f"{shape_id}_Vis_type.txt"),
                visual_labels(pts, result["pred_primitives"]),
@@ -227,10 +233,30 @@ def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict):
                fmt="%0.4f", delimiter=";")
 
 
+def run_postproc(out_dir: str, shape_id, batch_i: dict, result: dict):
+    """Chain into the patch/edge/corner post-processing + mesh generation
+    (reference: Fitting_patches_and_edges/primitive_forward_v2.py __main__ +
+    arg2mesh) directly from in-memory predictions."""
+    from sednet_tpu.data.labels import project_types_fitting
+    from sednet_tpu.postproc import process_shape, save_shape_parameters
+    from sednet_tpu.postproc.arg2mesh import arg2mesh
+
+    types = project_types_fitting(result["pred_primitives"].astype(np.int64))
+    res = process_shape(batch_i["points"].astype(np.float64),
+                        batch_i["normals"].astype(np.float64),
+                        result["cluster_ids"].astype(np.int64), types)
+    save_shape_parameters(out_dir, shape_id, res)
+    arg2mesh(os.path.join(out_dir, f"{shape_id}_mesh"),
+             os.path.join(out_dir, "paras", f"param_{shape_id}.txt"),
+             os.path.join(out_dir, "paras",
+                          f"param_inter_lines_{shape_id}.json"))
+    return res
+
+
 def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
                    multi_vote=False, fold5drop=False, out_dir=None,
                    batch_size=8, limit=None, params_type=None,
-                   params_inst=None):
+                   params_inst=None, postproc=False):
     from sednet_tpu.data import BatchLoader, ParseNetDataset
 
     logging.basicConfig(level=logging.INFO)
@@ -266,9 +292,11 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
             logger.info("ID:%d | inst_iou: %s type_iou: %s inst_recall: %s",
                         ids[i], r["inst_iou"], r["type_iou"], r["inst_recall"])
             all_metrics.append(r)
+            item = {k: batch[k][i] for k in batch}
             if save_viz:
-                item = {k: batch[k][i] for k in batch}
                 save_shape_outputs(out_dir, ids[i], item, r)
+            if postproc:
+                run_postproc(out_dir, ids[i], item, r)
         sid += len(results)
         if limit and sid >= limit:
             break
@@ -290,8 +318,9 @@ def main(argv=None):
     save_viz = not (len(argv) > 1 and argv[1] == "NoSave")
     multi_vote = len(argv) > 2 and argv[2] == "multi_vote"
     fold5drop = len(argv) > 3 and argv[3] == "fold5drop"
+    postproc = "postproc" in argv[1:]
     run_prediction(cfg, save_viz=save_viz, multi_vote=multi_vote,
-                   fold5drop=fold5drop)
+                   fold5drop=fold5drop, postproc=postproc)
 
 
 if __name__ == "__main__":

@@ -118,13 +118,19 @@ def test_run_prediction_end_to_end(tmp_path, small_model):
     out_dir = os.path.join(root, "out")
     summary, results = run_prediction(
         cfg, data_root=root, save_viz=True, out_dir=out_dir, batch_size=2,
-        params_type=params, params_inst=params)
+        params_type=params, params_inst=params, postproc=True)
     assert summary["n_shapes"] == 2
     assert np.isfinite(summary["inst_iou"])
     for sid in range(2):
         for suffix in ("inst", "type", "Vis_inst", "Vis_type", "edge",
-                       "GT_points"):
+                       "GT_points", "GT_inst", "GT_type"):
             assert os.path.exists(os.path.join(out_dir, f"{sid}_{suffix}.txt"))
+        # postproc chain: parameters + intersection json + mesh dir
+        assert os.path.exists(os.path.join(out_dir, "paras",
+                                           f"param_{sid}.txt"))
+        assert os.path.exists(os.path.join(out_dir, "paras",
+                                           f"param_inter_lines_{sid}.json"))
+        assert os.path.isdir(os.path.join(out_dir, f"{sid}_mesh"))
 
 
 def test_spectral_cache_roundtrip(tmp_path):
