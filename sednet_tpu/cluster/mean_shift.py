@@ -145,6 +145,48 @@ def mean_shift(key, x, *, num_samples=10000, quantile=0.015, iterations=50,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("num_samples", "iterations"))
+def _batched_shift(keys, x, quantile, num_samples: int, iterations: int):
+    bw = jax.vmap(lambda k, xx: jnp.clip(
+        compute_bandwidth(k, xx, num_samples, quantile), min=0.003))(keys, x)
+    from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas_batched
+
+    def body(_, new_x):
+        return mean_shift_step_pallas_batched(new_x, x, bw)
+
+    return lax.fori_loop(0, iterations, body, x), bw
+
+
+def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
+                  iterations=50, max_clusters: int = 49,
+                  retry_factor: float = 1.2):
+    """Cluster a batch of shapes: one batched Pallas launch for the shift
+    iterations (the throughput path, SURVEY §2.9), per-shape NMS, and an
+    individual guarded retry only for shapes that exceed max_clusters.
+
+    x: (B, N, E) unit rows. Returns (labels (B, N) int32,
+    num_clusters (B,) int32). TPU-only (uses the Pallas step)."""
+    import numpy as np
+
+    b = x.shape[0]
+    keys = jax.random.split(key, b)
+    shifted, bw = _batched_shift(keys, x, jnp.float32(quantile),
+                                 min(num_samples, x.shape[1]), iterations)
+    # dispatch all NMS programs before any host sync so they pipeline
+    results = [nms(shifted[i], x[i], bw[i]) for i in range(b)]
+    labels = [r[0] for r in results]
+    nums = np.asarray(jnp.stack([r[2] for r in results]))  # single sync
+    for i in np.nonzero(nums > max_clusters)[0]:  # rare guarded retries
+        res = guard_mean_shift(
+            keys[i], x[i], num_samples=num_samples,
+            quantile=quantile * retry_factor, iterations=iterations,
+            max_clusters=max_clusters, retry_factor=retry_factor)
+        labels[i] = res.labels
+        nums[i] = int(res.num_clusters)
+    return jnp.stack(labels), jnp.asarray(nums)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("num_samples", "iterations", "kernel_type",
                      "max_clusters", "retry_factor"))

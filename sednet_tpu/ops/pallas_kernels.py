@@ -60,6 +60,84 @@ def _ms_kernel(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
         out_ref[:] = out / norm
 
 
+def _ms_kernel_batched(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
+                       num_acc, den_acc):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        num_acc[:] = jnp.zeros_like(num_acc)
+        den_acc[:] = jnp.zeros_like(den_acc)
+
+    q = q_ref[0]                                   # (RB, E)
+    x = x_ref[0]                                   # (CB, E)
+    s = lax.dot_general(q, x, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    arg = jnp.maximum((s - 1.0) * inv2b2_ref[b, 0], -75.0)
+    k = jnp.exp(arg)
+    cb = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1) + j * cb
+    k = jnp.where(col < n_valid_ref[0, 0], k, 0.0)
+
+    num_acc[:] += jnp.dot(k, x, preferred_element_type=jnp.float32)
+    den_acc[:] += jnp.sum(k, axis=1, keepdims=True)
+
+    @pl.when(j == nj - 1)
+    def _():
+        out = num_acc[:] / jnp.maximum(den_acc[:], 1e-30)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(out * out, 1, keepdims=True),
+                                    1e-24))
+        out_ref[0] = out / norm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block", "interpret"))
+def mean_shift_step_pallas_batched(new_x: jax.Array, x: jax.Array,
+                                   bandwidth: jax.Array, *,
+                                   row_block: int = 512,
+                                   col_block: int = 1024,
+                                   interpret: bool = False) -> jax.Array:
+    """Batched fused mean-shift update: new_x, x (B, N, E) unit rows;
+    bandwidth (B,). One kernel launch clusters every shape in the batch —
+    the batch axis is an extra parallel grid dimension."""
+    bsz, n, e = x.shape
+    rb = min(row_block, _round_up(n, 8))
+    cb = min(col_block, _round_up(n, 128))
+    n_rows = _round_up(n, rb)
+    n_cols = _round_up(n, cb)
+    q_pad = jnp.pad(new_x, ((0, 0), (0, n_rows - n), (0, 0)))
+    x_pad = jnp.pad(x, ((0, 0), (0, n_cols - n), (0, 0)))
+    inv2b2 = (1.0 / (bandwidth * bandwidth)).reshape(bsz, 1).astype(
+        jnp.float32)
+    n_valid = jnp.full((1, 1), n, jnp.int32)
+
+    out = pl.pallas_call(
+        _ms_kernel_batched,
+        grid=(bsz, n_rows // rb, n_cols // cb),
+        in_specs=[
+            pl.BlockSpec((bsz, 1), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rb, e), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, e), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, e), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_rows, e), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rb, e), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(inv2b2, n_valid, q_pad, x_pad)
+    return out[:, :n]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "interpret"))
 def mean_shift_step_pallas(new_x: jax.Array, x: jax.Array,
