@@ -112,6 +112,55 @@ def spectral_eigvecs(affinity: jax.Array, key: jax.Array, k: int = 12,
     return u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-16)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "sigma", "nearest"))
+def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
+                           sigma: float = 0.1, k: int = 50,
+                           nearest: bool = False):
+    """Sparse form of normal_affinity_topk: returns (idx (N,k), vals (N,k),
+    rsqrt_deg (N,)) such that A = D^-1/2 W D^-1/2 with W the scatter of
+    vals at (row, idx). The symmetrized operator (A + A^T)/clamp(M + M^T)
+    of the dense path is approximated by (A + A^T)/2 — identical wherever
+    both directions exist, and within 2x elsewhere (the clamp's range)."""
+    n = xyz.shape[0]
+    idx = _neighbor_idx(xyz, k, nearest)
+    n_sub = normals[idx]
+    cos = jnp.clip(jnp.einsum("nc,nkc->nk", normals, n_sub), -0.99, 0.99)
+    w = jnp.exp(-jnp.arccos(cos) ** 2 / (2.0 * sigma * sigma))
+    # row degree of the scattered W (duplicates within a row are distinct
+    # columns from top_k, so the row sum is just the kernel sum)
+    deg = jnp.clip(w.sum(-1), min=1e-12)
+    return idx, w, jax.lax.rsqrt(deg)
+
+
+def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
+                             key: jax.Array, *, sigma: float = 0.1,
+                             knn: int = 50, k: int = 12,
+                             iters: int = 10) -> jax.Array:
+    """Matrix-free LOBPCG on the symmetrized normalized affinity: never
+    materializes the N x N matrix (the N-axis "long-context" plan of
+    SURVEY §5). The matvec uses one gather (A v) and one scatter (A^T v)
+    over the N*k sparse entries."""
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    n = xyz.shape[0]
+    idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], idx.shape)
+
+    def matvec(v):  # v: (N, m)
+        # A v where A[i, idx[i,j]] = rsq[i] w[i,j] rsq[idx[i,j]]
+        gathered = v[idx] * (w * rsq[idx])[..., None]        # (N, k, m)
+        av = rsq[:, None] * gathered.sum(1)
+        # A^T v: scatter the same entries transposed
+        contrib = (w * rsq[idx])[..., None] * (rsq[:, None] * v)[:, None, :]
+        atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
+            contrib.reshape(-1, v.shape[1]))
+        return 0.5 * (av + atv)
+
+    x0 = jax.random.normal(key, (n, k), jnp.float32)
+    _, u, _ = lobpcg_standard(matvec, x0, m=iters)
+    return u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-16)
+
+
 def hpnet_process(
     embedding: jax.Array,          # (N, K) instance embedding (not L2-normed)
     xyz: jax.Array,                # (N, 3)

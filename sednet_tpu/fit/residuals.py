@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-import jax
 import jax.numpy as jnp
 
 from sednet_tpu.ops.chamfer import chamfer_distance

@@ -8,8 +8,6 @@ both pick the minimum-cost alignment per shape.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -15,8 +15,6 @@ Returns (global (B,1024), per-point features (B,N,256)).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

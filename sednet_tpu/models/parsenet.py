@@ -15,8 +15,6 @@ sednet_tpu.parsenet_e2e instead.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sednet_tpu.ops.knn import knn_indices, pairwise_sqdist
+from sednet_tpu.ops.knn import pairwise_sqdist
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples",))

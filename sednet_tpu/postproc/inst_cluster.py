@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from sednet_tpu.cluster import mean_shift
-from sednet_tpu.postproc.boundary import boundary_edge_mask
 
 
 def resplit_instances(points: np.ndarray, normals: np.ndarray,

@@ -23,11 +23,9 @@ CLI: python -m sednet_tpu.predict <cfg> [NoSave] [multi_vote] [fold5drop]
 from __future__ import annotations
 
 import functools
-import json
 import logging
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -38,11 +36,10 @@ from sednet_tpu.cluster.spectral import (compute_entropy,
                                          normal_affinity_topk,
                                          spectral_eigvecs)
 from sednet_tpu.config import Config, load_config
-from sednet_tpu.metrics import (siou_matched_segments,
-                                siou_matched_segments_usecd, to_one_hot)
+from sednet_tpu.metrics import siou_matched_segments_usecd, to_one_hot
 from sednet_tpu.models import SEDNet
 from sednet_tpu.train import build_model, load_params
-from sednet_tpu.utils import COLORS_TYPE, visual_labels
+from sednet_tpu.utils import visual_labels
 
 logger = logging.getLogger("sednet_tpu.predict")
 

@@ -18,7 +18,6 @@ CLI: python -m sednet_tpu.splinenet_train {open|closed} --data FILE
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import logging
 import os

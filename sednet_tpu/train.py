@@ -19,11 +19,9 @@ CLI: python -m sednet_tpu.train <config.yml> [--data-root DIR] [--steps N]
 """
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import os
-import time
 from typing import Any, NamedTuple
 
 import jax

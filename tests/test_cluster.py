@@ -118,6 +118,47 @@ def test_spectral_eigvecs_shape(rng):
         np.asarray(jnp.linalg.norm(v, axis=-1)), 1.0, atol=1e-4)
 
 
+def test_matfree_matvec_matches_dense(rng):
+    from sednet_tpu.cluster.spectral import (normal_affinity_sparse,
+                                             spectral_eigvecs_matfree)
+
+    n = 60
+    xyz = rng.randn(n, 3).astype(np.float32)
+    nrm = rng.randn(n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    idx, w, rsq = (np.asarray(a) for a in normal_affinity_sparse(
+        jnp.asarray(xyz), jnp.asarray(nrm), k=8))
+    a = np.zeros((n, n))
+    for i in range(n):
+        for j in range(8):
+            a[i, idx[i, j]] += rsq[i] * w[i, j] * rsq[idx[i, j]]
+    a_sym = 0.5 * (a + a.T)
+
+    # validate the implicit operator against the dense reconstruction
+    rows = np.broadcast_to(np.arange(n)[:, None], idx.shape)
+    rv = rng.randn(n, 4).astype(np.float32)
+
+    def matvec_dense(v):
+        return a_sym @ v
+
+    # re-derive the matvec exactly as spectral_eigvecs_matfree does
+    gathered = rv[idx] * (w * rsq[idx])[..., None]
+    av_half = rsq[:, None] * gathered.sum(1)
+    contrib = (w * rsq[idx])[..., None] * (rsq[:, None] * rv)[:, None, :]
+    atv = np.zeros_like(rv)
+    np.add.at(atv, idx.reshape(-1), contrib.reshape(-1, 4))
+    got = 0.5 * (av_half + atv)
+    np.testing.assert_allclose(got, matvec_dense(rv), rtol=1e-3, atol=1e-5)
+
+    # and the full path runs and returns finite row-normalized vectors
+    v = spectral_eigvecs_matfree(jnp.asarray(xyz), jnp.asarray(nrm),
+                                 jax.random.PRNGKey(0), knn=8, k=4, iters=15)
+    v = np.asarray(v)
+    assert v.shape == (n, 4)
+    assert np.isfinite(v).all()
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
+
+
 def test_hpnet_process_concat_shapes(rng):
     n = 64
     emb = jnp.asarray(rng.randn(n, 16).astype(np.float32))
