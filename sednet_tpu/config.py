@@ -78,6 +78,7 @@ class Config:
     spectral_sigma: float = 0.1
     spectral_knn: int = 50
     spectral_eigvecs: int = 12
+    spectral_matfree: bool = False  # matrix-free LOBPCG (no NxN affinity)
 
     # runtime
     gpu: str = ""                # kept for config-file compat; unused on TPU

@@ -126,9 +126,17 @@ def spectral_embed(xyz, normals, cfg: Config, shape_id=None,
     if cached is not None:
         return cached
     key = key if key is not None else jax.random.PRNGKey(0)
-    aff = normal_affinity_topk(xyz, normals, sigma=cfg.spectral_sigma,
-                               k=cfg.spectral_knn)
-    v = spectral_eigvecs(aff, key, k=cfg.spectral_eigvecs)
+    if cfg.spectral_matfree:
+        from sednet_tpu.cluster.spectral import spectral_eigvecs_matfree
+
+        v = spectral_eigvecs_matfree(xyz, normals, key,
+                                     sigma=cfg.spectral_sigma,
+                                     knn=cfg.spectral_knn,
+                                     k=cfg.spectral_eigvecs)
+    else:
+        aff = normal_affinity_topk(xyz, normals, sigma=cfg.spectral_sigma,
+                                   k=cfg.spectral_knn)
+        v = spectral_eigvecs(aff, key, k=cfg.spectral_eigvecs)
     ent = compute_entropy(v)
     if cache is not None and shape_id is not None:
         cache.put(shape_id, v, ent)
