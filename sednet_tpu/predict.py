@@ -51,6 +51,10 @@ def _forward(model, params, x):
     return out.type_log_prob, out.embedding, out.edge_logits
 
 
+def make_forward(model):
+    return jax.jit(functools.partial(_forward, model))
+
+
 def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
                            fold5drop: bool, drop_num: int = 2000):
     """Returns a jitted fn(params_type, x (B,N,C)) -> (B,N,6) log-probs with
@@ -156,18 +160,23 @@ def predict_shapes(
     cache: SpectralCache | None = None,
     shape_ids=None,
     tta_fn=None,
+    forward_fn=None,
 ):
     """Run the full per-shape pipeline on a batch dict; returns a list of
-    per-shape result dicts (cluster ids, pred types, metrics)."""
+    per-shape result dicts (cluster ids, pred types, metrics).
+
+    Pass tta_fn/forward_fn (from make_tta_type_log_prob / make_forward) when
+    calling repeatedly — a fresh closure per call would retrace."""
     x = np.concatenate([batch["points"], batch["normals"]], -1).astype(
         np.float32) if cfg.normals else batch["points"].astype(np.float32)
     x = jnp.asarray(x)
 
     if tta_fn is None:
         tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
+    if forward_fn is None:
+        forward_fn = make_forward(model)
     type_lp = tta_fn(params_type, x)                      # (B, N, 6)
-    _, embedding, edge_logits = jax.jit(
-        functools.partial(_forward, model))(params_inst, x)
+    _, embedding, edge_logits = forward_fn(params_inst, x)
 
     results = []
     b = x.shape[0]
@@ -283,6 +292,7 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
     cache = SpectralCache(os.path.join(out_dir, "normal_smooth_cache"),
                           cfg.spectral_sigma, cfg.spectral_knn)
     tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
+    forward_fn = make_forward(model)
 
     key = jax.random.PRNGKey(cfg.seed)
     all_metrics = []
@@ -292,7 +302,8 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
         results = predict_shapes(model, params_type, params_inst, batch, cfg,
                                  key=key, multi_vote=multi_vote,
                                  fold5drop=fold5drop, cache=cache,
-                                 shape_ids=ids, tta_fn=tta_fn)
+                                 shape_ids=ids, tta_fn=tta_fn,
+                                 forward_fn=forward_fn)
         for i, r in enumerate(results):
             logger.info("ID:%d | inst_iou: %s type_iou: %s inst_recall: %s",
                         ids[i], r["inst_iou"], r["type_iou"], r["inst_recall"])
