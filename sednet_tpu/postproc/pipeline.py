@@ -289,10 +289,21 @@ def save_shape_parameters(out_dir: str, shape_id, result: Dict):
         for key, par in result["parameters"].items():
             if par is None:
                 continue
+            if par[0] in ("open-spline", "closed-spline"):
+                # spline surfaces go to their own txt (the reference dumps
+                # them separately too, primitive_forward_v2.py:1221-1223;
+                # flattening 900+ points into the param line truncates)
+                suffix = "_close_spline" if par[0] == "closed-spline" else ""
+                np.savetxt(os.path.join(
+                    out_dir, f"{shape_id}_{key}{suffix}.txt"),
+                    np.asarray(par[1]), fmt="%0.4f", delimiter=";")
+                f.write(f"id {key}: {par[0]} , \n")
+                continue
             s = f"id {key}: "
             for item in par:
                 if isinstance(item, np.ndarray):
-                    item = item.flatten()
+                    item = np.array2string(item.flatten(), threshold=10000,
+                                           max_line_width=10 ** 9)
                 s += str(item) + " , "
             f.write(s + "\n")
 

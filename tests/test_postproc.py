@@ -202,6 +202,28 @@ def _box_shape(rng, n=400):
     return pts, nrm, insts, types
 
 
+def test_process_shape_with_spline_fitter_and_dump(rng, tmp_path):
+    """Spline segments route through spline_fitter and dump their surface to
+    a separate txt (reference: primitive_forward_v2.py:1221-1223)."""
+    pts, nrm, insts, types = _box_shape(rng, 400)
+    types[insts == 3] = 0  # one closed-spline instance
+
+    def fake_spline_fitter(p, n, closed):
+        return ("closed-spline" if closed else "open-spline",
+                p[:50].astype(np.float32))
+
+    result = process_shape(pts, nrm, insts, types, min_points=30,
+                           corner_dist_thresh=0.2,
+                           spline_fitter=fake_spline_fitter)
+    assert result["parameters"][3][0] == "closed-spline"
+    save_shape_parameters(str(tmp_path), "s", result)
+    import os
+    assert os.path.exists(tmp_path / "s_3_close_spline.txt")
+    text = open(tmp_path / "paras" / "param_s.txt").read()
+    assert "closed-spline" in text
+    assert "..." not in text  # no numpy truncation
+
+
 def test_process_shape_box_corner(rng, tmp_path):
     pts, nrm, insts, types = _box_shape(rng, 800)
     # corner_dist_thresh scaled up: with ~200 points/face the nearest sample
