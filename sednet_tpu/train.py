@@ -225,6 +225,31 @@ def load_params(path: str):
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
 
+def load_params_tolerant(template, path: str):
+    """Shape-mismatch-tolerant checkpoint load: keep checkpoint leaves whose
+    shape matches the template, keep the template's init elsewhere
+    (reference: train_sed_net.py on_load_checkpoint :97-113)."""
+    loaded = load_params(path)
+    if isinstance(loaded, dict) and set(loaded) == {"params"}:
+        loaded = loaded["params"]
+
+    def merge(tpl, new):
+        if isinstance(tpl, dict):
+            return {k: (merge(tpl[k], new[k]) if isinstance(new, dict)
+                        and k in new else tpl[k]) for k in tpl}
+        try:
+            if np.shape(tpl) == np.shape(new):
+                return jnp.asarray(new)
+        except Exception:
+            pass
+        logger.info("dropping mismatched checkpoint leaf %s vs %s",
+                    np.shape(new) if new is not None else None,
+                    np.shape(tpl))
+        return tpl
+
+    return merge(template, loaded)
+
+
 def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
           run_dir: str | None = None, use_edge_dataset: bool = True,
           log_every: int = 10):
@@ -246,6 +271,9 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
     key, init_key = jax.random.split(key)
     sample_shape = (cfg.batch_size, cfg.num_points, 6 if cfg.normals else 3)
     params = model.init(init_key, jnp.zeros(sample_shape, jnp.float32))["params"]
+    if cfg.preload_model and cfg.pretrain_model_path:
+        logger.info("preloading params from %s", cfg.pretrain_model_path)
+        params = load_params_tolerant(params, cfg.pretrain_model_path)
     opt_state = optimizer.init(params)
     state = TrainState(replicate(params, mesh), replicate(opt_state, mesh),
                        jnp.int32(0))

@@ -60,6 +60,30 @@ def test_checkpoints_written_and_loadable(tiny_run):
     np.testing.assert_allclose(np.asarray(flat_l[0]), np.asarray(flat_c[0]))
 
 
+def test_tolerant_preload(tiny_run, tmp_path):
+    """Shape-mismatched leaves are dropped, matching ones loaded
+    (reference: train_sed_net.py on_load_checkpoint)."""
+    import jax.numpy as jnp
+    from sednet_tpu.train import build_model, load_params_tolerant
+    from sednet_tpu.config import Config
+
+    cfg, state, history, run_dir = tiny_run
+    ckpt = os.path.join(run_dir, "ckpts", "latest")
+    # template with a DIFFERENT embedding size -> final head mismatched
+    cfg2 = Config(**{**cfg.asdict(), "embed": cfg.embed * 2})
+    model2 = build_model(cfg2)
+    template = model2.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, cfg.num_points, 6)))["params"]
+    merged = load_params_tolerant(template, ckpt)
+    # matching layer adopted from the checkpoint
+    trained = jax.device_get(state.params)
+    np.testing.assert_allclose(
+        np.asarray(merged["conv1"]["kernel"]),
+        np.asarray(trained["conv1"]["kernel"]))
+    # mismatched final head kept at its init shape
+    assert merged["mlp_seg_prob2"]["kernel"].shape[1] == cfg.embed * 2
+
+
 def test_metrics_jsonl_written(tiny_run):
     _, _, _, run_dir = tiny_run
     lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
