@@ -198,7 +198,8 @@ class CheckpointManager:
         path = os.path.join(self.root, name)
         self._ckpt.save(path, params, force=True)
 
-    def update(self, params, criterion: float, emb: float, type_loss: float):
+    def update(self, params, criterion: float, emb: float, type_loss: float,
+               opt_state=None):
         saved = []
         if criterion < self.best_total:
             self.best_total = criterion
@@ -213,6 +214,10 @@ class CheckpointManager:
             self._save("best_type", params)
             saved.append("best_type")
         self._save("latest", params)
+        if opt_state is not None:
+            # optimizer state for resume (reference: pretrain_opti_path,
+            # train_sed_net.py:170-176)
+            self._save("latest_opt", jax.device_get(opt_state))
         return saved
 
     def load(self, name: str):
@@ -275,6 +280,15 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
         logger.info("preloading params from %s", cfg.pretrain_model_path)
         params = load_params_tolerant(params, cfg.pretrain_model_path)
     opt_state = optimizer.init(params)
+    if cfg.preload_model and cfg.pretrain_opti_path:
+        # optimizer resume with LR override (reference: train_sed_net.py:170-176)
+        import orbax.checkpoint as ocp
+
+        logger.info("preloading optimizer from %s", cfg.pretrain_opti_path)
+        opt_state = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(cfg.pretrain_opti_path),
+            item=jax.device_get(opt_state))
+        opt_state = set_learning_rate(opt_state, cfg.lr)
     state = TrainState(replicate(params, mesh), replicate(opt_state, mesh),
                        jnp.int32(0))
 
@@ -351,7 +365,7 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
                     "criterion": criterion, "lr": lr,
                 }
                 saved = ckpts.update(jax.device_get(state.params), criterion,
-                                     ts_e, ts_p)
+                                     ts_e, ts_p, opt_state=state.opt_state)
                 record["saved"] = saved
                 history.append(record)
                 metrics_log.write(json.dumps(record) + "\n")

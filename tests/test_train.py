@@ -84,6 +84,30 @@ def test_tolerant_preload(tiny_run, tmp_path):
     assert merged["mlp_seg_prob2"]["kernel"].shape[1] == cfg.embed * 2
 
 
+def test_optimizer_resume(tiny_run, tmp_path_factory):
+    """Training resumes from latest + latest_opt (reference's
+    pretrain_opti_path path, train_sed_net.py:170-176)."""
+    from sednet_tpu.data import write_parsenet_h5
+    from sednet_tpu.train import train
+
+    cfg, state, history, run_dir = tiny_run
+    assert os.path.isdir(os.path.join(run_dir, "ckpts", "latest_opt"))
+    root = str(tmp_path_factory.mktemp("data2"))
+    write_parsenet_h5(root, n_shapes=8, n_points=cfg.num_points)
+    cfg2 = type(cfg)(**{**cfg.asdict(),
+                        "preload_model": True,
+                        "pretrain_model_path": os.path.join(
+                            run_dir, "ckpts", "latest"),
+                        "pretrain_opti_path": os.path.join(
+                            run_dir, "ckpts", "latest_opt"),
+                        "lr": 5e-4})
+    run2 = str(tmp_path_factory.mktemp("run2"))
+    state2, history2 = train(cfg2, data_root=root, max_steps=6, run_dir=run2)
+    assert int(state2.step) == 6
+    assert np.isfinite(history2[-1]["TrL"])
+    assert history2[-1]["lr"] == pytest.approx(5e-4)
+
+
 def test_metrics_jsonl_written(tiny_run):
     _, _, _, run_dir = tiny_run
     lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
