@@ -19,6 +19,7 @@ CLI: python -m sednet_tpu.train <config.yml> [--data-root DIR] [--steps N]
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -111,7 +112,7 @@ def make_train_step(model: SEDNet, optimizer, cfg: Config):
                    "edge_cls": e_loss, "edge_embed": ee_loss}
         return total, metrics
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, key)
