@@ -87,6 +87,33 @@ def test_tta_fold5drop_scatters_votes(small_model, rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
 
+def test_tta_rotation_fold_combo(small_model, rng):
+    """fold5drop + multi_vote: identity and y-flip rotations, each with the
+    base + fold-drop votes, summed (reference:
+    generate_predictions_aug.py:307-362)."""
+    cfg, model, params = small_model
+    batch = _batch(rng, 1)
+    x = jnp.asarray(np.concatenate([batch["points"], batch["normals"]], -1))
+    drop = N // 5
+    out = make_tta_type_log_prob(model, cfg, True, True,
+                                 drop_num=drop)(params, x)
+
+    def fwd(xx):
+        return np.asarray(model.apply({"params": params}, xx).type_log_prob)
+
+    ref = np.zeros((1, N, 6), np.float32)
+    for rot in (np.eye(3, dtype=np.float32),
+                np.diag([-1, 1, -1]).astype(np.float32)):
+        xr = np.concatenate([np.asarray(x)[..., :3] @ rot,
+                             np.asarray(x)[..., 3:] @ rot], -1)
+        cur = fwd(jnp.asarray(xr)).copy()
+        for i in range(5):
+            keep = np.r_[0: i * drop, (i + 1) * drop: N]
+            cur[:, keep] += fwd(jnp.asarray(xr[:, keep]))
+        ref += cur
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
 def test_predict_shapes_high_iou_with_oracle_embedding(rng):
     """With a model whose embedding head is replaced by an oracle (one-hot of
     gt segment), the pipeline must produce near-perfect instance IoU —
