@@ -19,13 +19,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sednet_tpu.ops.graph import edge_features
+from sednet_tpu.ops.graph import edge_conv_features
 from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
 
 
 class EdgeConv(nn.Module):
     """One DGCNN edge convolution: kNN -> [x_j - x_i, x_i] -> 1x1 conv -> GN
-    -> LeakyReLU -> max over neighbours."""
+    -> LeakyReLU -> max over neighbours. The 1x1 conv is factored through
+    the neighbour gather (see ops.graph.edge_conv_features) — K x fewer
+    matmul FLOPs, identical parameters and math."""
 
     out_channels: int
     groups: int
@@ -34,8 +36,8 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, idx: jax.Array) -> jax.Array:
-        f = edge_features(x, idx)  # (B, N, K, 2C)
-        f = nn.Dense(self.out_channels, use_bias=False, name="conv")(f)
+        dense = nn.Dense(self.out_channels, use_bias=False, name="conv")
+        f = edge_conv_features(x, idx, dense)  # (B, N, K, C_out)
         f = nn.GroupNorm(num_groups=self.groups, name="gn")(f)
         f = nn.leaky_relu(f, negative_slope=self.negative_slope)
         return jnp.max(f, axis=2)  # (B, N, C_out)

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sednet_tpu.ops.graph import edge_features
+from sednet_tpu.ops.graph import edge_conv_features
 from sednet_tpu.ops.knn import knn_indices
 
 
@@ -27,8 +27,8 @@ class _BNEdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         idx = knn_indices(x, self.k)
-        f = edge_features(x, idx)  # (B, N, K, 2C)
-        f = nn.Dense(self.out_channels, use_bias=False, name="conv")(f)
+        dense = nn.Dense(self.out_channels, use_bias=False, name="conv")
+        f = edge_conv_features(x, idx, dense)  # (B, N, K, C_out)
         f = nn.BatchNorm(use_running_average=not train, name="bn")(f)
         f = nn.leaky_relu(f, negative_slope=0.2)
         return jnp.max(f, axis=2)

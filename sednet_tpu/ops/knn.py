@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -120,9 +122,19 @@ def _dilate(idx_k2: jax.Array, k1: int, k2: int) -> jax.Array:
     return idx_k2[..., ::stride][..., :k1]
 
 
+def _resolve_method(method: str, n: int, dim: int, k: int) -> str:
+    """"auto" = the fused Pallas kernel on TPU (exact, ~3.5x the XLA top-k
+    at N=10k), XLA "hier" elsewhere or when the problem doesn't fit it."""
+    if method != "auto":
+        return method
+    if jax.default_backend() == "tpu" and pallas_topk_supported(n, dim, k):
+        return "pallas"
+    return "hier"
+
+
 @functools.partial(jax.jit, static_argnames=("k1", "k2", "row_block", "method"))
 def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *,
-                row_block: int = 512, method: str = "hier") -> jax.Array:
+                row_block: int = 512, method: str = "auto") -> jax.Array:
     """Batched kNN under squared-euclidean distance.
 
     x: (B, N, D) float. Returns (B, N, k1) int32 — for each point, the
@@ -130,6 +142,11 @@ def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *,
     Reference: src/PointNet.py:62-87.
     """
     k2 = k1 if k2 is None else k2
+    method = _resolve_method(method, x.shape[1], x.shape[2], k2)
+    if method == "pallas":
+        idx = topk_pallas(x, x, k2, row_block=row_block,
+                          interpret=jax.default_backend() != "tpu")
+        return _dilate(idx, k1, k2)
     f = functools.partial(
         _blocked_topk_neighbors,
         metric_fn=pairwise_sqdist,
@@ -151,13 +168,20 @@ def knn_indices_points_normals(
     *,
     normal_metric_w: float = 1.0,
     row_block: int = 512,
-    method: str = "hier",
+    method: str = "auto",
 ) -> jax.Array:
     """Batched kNN under the position*(1+W*normal) metric.
 
     x: (B, N, 6) — xyz ++ unit normals. Reference: src/PointNet.py:90-137.
     """
     k2 = k1 if k2 is None else k2
+    method = _resolve_method(method, x.shape[1], x.shape[2], k2)
+    if method == "pallas":
+        idx = topk_pallas(x, x, k2, metric="points_normals",
+                          normal_metric_w=normal_metric_w,
+                          row_block=row_block,
+                          interpret=jax.default_backend() != "tpu")
+        return _dilate(idx, k1, k2)
     metric = functools.partial(_points_normals_sqdist, w=normal_metric_w)
     f = functools.partial(
         _blocked_topk_neighbors, metric_fn=metric, k=k2, row_block=row_block,
