@@ -42,16 +42,21 @@ GEOMETRIC_LABELS = {1: "plane", 3: "cone", 4: "cylinder", 5: "sphere"}
 
 
 def remove_outliers(points: np.ndarray, nb_neighbors: int = 20,
-                    std_ratio: float = 0.5) -> np.ndarray:
+                    std_ratio: float = 0.5, return_mask: bool = False):
     """Statistical outlier removal — keeps points whose mean distance to
     their nb_neighbors NNs is within mean + std_ratio * std (the open3d
-    filter the reference wraps, src/fitting_utils.py:704-710)."""
+    filter the reference wraps, src/fitting_utils.py:704-710).
+
+    With return_mask, also returns the boolean keep mask so per-point
+    companions (weights, normals) can be filtered consistently."""
     n = points.shape[0]
     k = min(nb_neighbors + 1, n)
     d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
     nn = np.sort(d2, axis=1)[:, 1:k]
     mean_d = np.sqrt(np.clip(nn, 0, None)).mean(1)
     keep = mean_d <= mean_d.mean() + std_ratio * mean_d.std()
+    if return_mask:
+        return points[keep], keep
     return points[keep]
 
 
@@ -196,6 +201,36 @@ def optimize_spline_kronecker(recon: np.ndarray, input_points: np.ndarray,
     return surface.astype(np.float32)
 
 
+def _batched_geometric_fits(geo, fitter: FittingModule):
+    """Fit every geometric segment of the shape in ONE compiled call.
+
+    geo: list of (sid, label, pts, nrm, w) numpy tuples. Segment point
+    counts are padded to a small set of buckets (zero weight + zero points
+    on padding leaves every fit unchanged — all fits touch points only via
+    weight-multiplied terms) and the segment axis is padded to a multiple of
+    8, so the program retraces per bucket, never per segment size
+    (reference per-segment loop: src/primitive_forward.py:929-1051)."""
+    from sednet_tpu.fit.primitives import _fit_bucket, fit_all_types_batched
+
+    p_max = _fit_bucket(max(p.shape[0] for _, _, p, _, _ in geo))
+    s_pad = _round_up8(len(geo))
+    pts = np.zeros((s_pad, p_max, 3), np.float32)
+    nrm = np.zeros((s_pad, p_max, 3), np.float32)
+    w = np.zeros((s_pad, p_max), np.float32)
+    for i, (_, _, p, n, ww) in enumerate(geo):
+        m = p.shape[0]
+        pts[i, :m], nrm[i, :m], w[i, :m] = p, n, ww
+    out = fit_all_types_batched(jnp.asarray(pts), jnp.asarray(nrm),
+                                jnp.asarray(w))
+    for i, (sid, label, _, _, _) in enumerate(geo):
+        name = GEOMETRIC_LABELS[label]
+        fitter.parameters[sid] = [name] + [v[i] for v in out[name]]
+
+
+def _round_up8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
 def fit_one_shape(segments, fitter: FittingModule, *, eval_mode=False,
                   if_optimize=False, rng=None):
     """Fit every segment of one shape.
@@ -203,10 +238,13 @@ def fit_one_shape(segments, fitter: FittingModule, *, eval_mode=False,
     segments: list of dicts with keys points (N,3) np, normals (N,3),
     label (type id), weights (N,) and id (segment key). Returns
     (parameters dict, reconstructions dict) — parameters[k] is None for
-    skipped segments (reference: primitive_forward.py:929-1051)."""
+    skipped segments (reference: primitive_forward.py:929-1051). Geometric
+    segments are fitted as one vmapped masked batch; splines (which run a
+    SplineNet forward at fixed resampled sizes) go per-segment."""
     rng = rng or np.random.RandomState(0)
     fitter.parameters = {}
     recon = {}
+    geo = []
     for seg in segments:
         sid = seg["id"]
         label = int(seg["label"])
@@ -227,8 +265,8 @@ def fit_one_shape(segments, fitter: FittingModule, *, eval_mode=False,
                 recon[sid] = None
                 continue
             if eval_mode:
-                kept = remove_outliers(pts)
-                w = w[: kept.shape[0]]
+                kept, keep = remove_outliers(pts, return_mask=True)
+                w = w[keep]  # filter weights BY THE MASK, not by count
                 lo, hi = ((1400, 1800) if label in CLOSED_SPLINE_LABELS
                           else (1000, 1500))
                 pts_r, w = up_sample_points_in_range(kept, w, lo, hi, rng)
@@ -243,11 +281,11 @@ def fit_one_shape(segments, fitter: FittingModule, *, eval_mode=False,
                 recon[sid] = fitter.forward_pass_open_spline(
                     pj, wj, sid, if_optimize=if_optimize)
         elif label in GEOMETRIC_LABELS:
-            pj, nj, wj = jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(w)
-            getattr(fitter, f"forward_pass_{GEOMETRIC_LABELS[label]}")(
-                pj, nj, wj, sid)
+            geo.append((sid, label, pts, nrm, w))
             recon[sid] = None
         else:
             fitter.parameters[sid] = None
             recon[sid] = None
+    if geo:
+        _batched_geometric_fits(geo, fitter)
     return fitter.parameters, recon

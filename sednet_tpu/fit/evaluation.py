@@ -161,10 +161,15 @@ class Evaluation:
         (reference: residual_utils.py:154-209). weights: (K, N) center-point
         similarities."""
         rows, cols, _, unique_pred = match(labels, cluster_ids)
+        # rows are predicted-cluster ids, cols their matched GT segment ids;
+        # index by id through the dict (rows is NOT guaranteed to be arange,
+        # so cols[i] would mis-pair whenever the assignment permutes rows)
+        col_of = dict(zip(rows, cols))
         w = weights_normalize(weights, float(bw)).T  # (N, K)
         segments, gt_points = [], {}
         for index, i in enumerate(np.sort(unique_pred)):
-            gt_i = labels == cols[i] if i < len(cols) else None
+            c = col_of.get(i)
+            gt_i = labels == c if c is not None else None
             if gt_i is None or gt_i.sum() == 0 or (cluster_ids == i).sum() == 0:
                 continue
             vals, counts = np.unique(primitives[gt_i], return_counts=True)

@@ -18,6 +18,8 @@ Deviations by design:
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -103,3 +105,38 @@ def fit_cone(points: jax.Array, normals: jax.Array, weights: jax.Array):
     theta = jnp.sum(weights * jnp.arccos(cos)) / (jnp.sum(weights) + EPS)
     theta = jnp.clip(theta, 1e-3, 3.142 / 2 - 1e-3)
     return apex, axis, theta
+
+
+@jax.jit
+def fit_all_types_batched(points: jax.Array, normals: jax.Array,
+                          weights: jax.Array):
+    """All four geometric fits for a padded batch of segments in ONE
+    compiled call — the masked/vmapped fit path the reference's per-segment
+    Python loop becomes (reference: src/primitive_forward.py:929-1051).
+
+    points/normals: (S, P, 3), weights: (S, P) with ZERO weight (and zero
+    points/normals) on padding rows — every fit touches points only through
+    weight-multiplied terms, so padding leaves results identical to the
+    unpadded fit. Returns a dict of per-type stacked parameters; the caller
+    selects the entry matching each segment's type.
+    """
+
+    def one(p, n, w):
+        pn, pd = fit_plane(p, w)
+        sc, sr = fit_sphere(p, w)
+        ca, cc, cr = fit_cylinder(p, n, w)
+        ka, kx, kt = fit_cone(p, n, w)
+        return {"plane": (pn, pd), "sphere": (sc, sr),
+                "cylinder": (ca, cc, cr), "cone": (ka, kx, kt)}
+
+    return jax.vmap(one)(points, normals, weights)
+
+
+@functools.lru_cache(maxsize=None)
+def _fit_bucket(p: int) -> int:
+    """Pad segment point counts to a few fixed buckets so the batched fit
+    compiles once per bucket instead of once per segment size."""
+    for b in (512, 2048, 10240):
+        if p <= b:
+            return b
+    return ((p + 4095) // 4096) * 4096

@@ -109,7 +109,10 @@ def make_train_step(model: SEDNet, optimizer, cfg: Config):
             max_segments=cfg.ms_max_clusters + 1)
         total = emb_loss + p_loss + e_loss + cfg.w_edge_embed_loss * ee_loss
         metrics = {"loss": total, "emb": emb_loss, "type": p_loss,
-                   "edge_cls": e_loss, "edge_embed": ee_loss}
+                   "edge_cls": e_loss, "edge_embed": ee_loss,
+                   # train-side type mIoU = the reference's TrI
+                   # (train_sed_net.py:339-354)
+                   "iou": evaluate_type_miou(prim, out.type_log_prob)}
         return total, metrics
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -171,8 +174,11 @@ class CosineScheduler:
         self.t = 0
 
     def step(self, _criterion: float) -> float:
+        # torch's closed form eta_min + (base-eta_min)(1+cos(pi t/T))/2 does
+        # NOT reset at T_max: past it the cosine reflects back up (period
+        # 2*T_max). A `t % t_max` sawtooth would snap to base lr every T_max.
         self.t += 1
-        cos = (1 + np.cos(np.pi * (self.t % self.t_max) / self.t_max)) / 2
+        cos = (1 + np.cos(np.pi * self.t / self.t_max)) / 2
         return self.eta_min + (self.base - self.eta_min) * cos
 
 
@@ -226,6 +232,13 @@ class CheckpointManager:
 
 
 def load_params(path: str):
+    """Load a checkpoint: orbax directory, or a reference torch .pth
+    (converted through utils.torch_import — released SED-Net weights load
+    directly)."""
+    if path.endswith((".pth", ".pt")):
+        from sednet_tpu.utils.torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
     import orbax.checkpoint as ocp
 
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
@@ -358,6 +371,7 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
                     "TsP": ts_p,
                     "TrE": float(np.mean([a["emb"] for a in train_accum])),
                     "TsE": ts_e,
+                    "TrI": float(np.mean([a["iou"] for a in train_accum])),
                     "TsI": ts_i,
                     "TrEdgeCls": float(np.mean([a["edge_cls"]
                                                 for a in train_accum])),

@@ -101,3 +101,79 @@ def test_optimize_spline_kronecker_projects_to_cloud(rng):
                                     cloud.astype(np.float32), new_cp=4,
                                     grid=10)
     assert abs(out[:, 2]).max() < 0.05
+
+
+def test_batched_fit_matches_individual(rng):
+    """fit_all_types_batched with padding == the individual fits."""
+    from sednet_tpu.fit.primitives import (fit_all_types_batched, fit_cone,
+                                           fit_cylinder, fit_plane,
+                                           fit_sphere)
+
+    pl_pts, pl_nrm, _ = sample_plane(rng, 300)
+    cy_pts, cy_nrm, _ = sample_cylinder(rng, 211)
+    segs = [(pl_pts, pl_nrm, np.abs(rng.rand(300)).astype(np.float32) + 0.1),
+            (cy_pts, cy_nrm, np.ones(211, np.float32))]
+    p_max, s_pad = 512, 8
+    pts = np.zeros((s_pad, p_max, 3), np.float32)
+    nrm = np.zeros((s_pad, p_max, 3), np.float32)
+    w = np.zeros((s_pad, p_max), np.float32)
+    for i, (p, n, ww) in enumerate(segs):
+        pts[i, : p.shape[0]] = p
+        nrm[i, : p.shape[0]] = n
+        w[i, : p.shape[0]] = ww
+    out = fit_all_types_batched(jnp.asarray(pts), jnp.asarray(nrm),
+                                jnp.asarray(w))
+    for i, (p, n, ww) in enumerate(segs):
+        pj, nj, wj = map(jnp.asarray, (p, n, ww))
+        a, d = fit_plane(pj, wj)
+        np.testing.assert_allclose(out["plane"][0][i], a, atol=1e-4)
+        np.testing.assert_allclose(out["plane"][1][i], d, atol=1e-4)
+        c, r = fit_sphere(pj, wj)
+        np.testing.assert_allclose(out["sphere"][0][i], c, atol=1e-3)
+        np.testing.assert_allclose(out["sphere"][1][i], r, atol=1e-3)
+        ax, c, r = fit_cylinder(pj, nj, wj)
+        np.testing.assert_allclose(np.abs(out["cylinder"][0][i] @ ax), 1.0,
+                                   atol=1e-3)
+        if i == 1:
+            # cone fit is only well-posed on the cylinder segment (a plane's
+            # identical normals make the cone-axis SVD degenerate, so padded
+            # and unpadded runs may pick different arbitrary axes there)
+            apex, ax, th = fit_cone(pj, nj, wj)
+            np.testing.assert_allclose(out["cone"][2][i], th, atol=5e-3)
+            np.testing.assert_allclose(out["cone"][0][i], apex, atol=5e-3)
+    # padding rows produce finite (discarded) results
+    for name, vals in out.items():
+        for v in vals:
+            assert np.isfinite(np.asarray(v)).all(), name
+
+
+def test_outlier_mask_keeps_weights_aligned(rng):
+    """Weights must be filtered by the keep mask, not truncated by count
+    (the round-1 bug dropped trailing weights regardless of which points
+    were removed)."""
+    pts = rng.randn(200, 3).astype(np.float32) * 0.1
+    pts[7] += 10.0
+    pts[130] += 10.0  # interior outliers
+    kept, keep = remove_outliers(pts, return_mask=True)
+    w = np.arange(200, dtype=np.float32)
+    assert not keep[7] and not keep[130]
+    np.testing.assert_array_equal(w[keep], np.arange(200)[keep])
+    assert kept.shape[0] == keep.sum()
+
+
+def test_fit_one_shape_single_compiled_geometric_call(rng, fitter):
+    """Segments with different point counts inside one bucket share one
+    compiled fit (no per-segment-size retrace)."""
+    from sednet_tpu.fit import primitives as P
+
+    pl_pts, pl_nrm, _ = sample_plane(rng, 300)
+    segments = [
+        {"id": i, "label": 1, "points": pl_pts[: 100 + 17 * i],
+         "normals": pl_nrm[: 100 + 17 * i]}
+        for i in range(6)
+    ]
+    n_before = P.fit_all_types_batched._cache_size()
+    params, _ = fit_one_shape(segments, fitter)
+    n_after = P.fit_all_types_batched._cache_size()
+    assert n_after <= n_before + 1
+    assert all(params[i][0] == "plane" for i in range(6))

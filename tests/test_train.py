@@ -115,3 +115,24 @@ def test_metrics_jsonl_written(tiny_run):
     rec = json.loads(lines[0])
     assert "criterion" in rec and "saved" in rec
     assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+
+def test_cosine_scheduler_matches_torch():
+    """CosineScheduler must follow torch.optim CosineAnnealingLR exactly —
+    including PAST T_max, where the cosine reflects instead of restarting
+    (reference: train_sed_net.py:205-206)."""
+    import torch
+
+    from sednet_tpu.train import CosineScheduler
+
+    lr = 1e-4
+    sched = CosineScheduler(lr, t_max=10)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr)
+    ref = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=10, eta_min=lr / 20)
+    for _ in range(25):
+        ref.step()
+        got = sched.step(0.0)
+        want = opt.param_groups[0]["lr"]
+        assert abs(got - want) < 1e-12, (sched.t, got, want)
