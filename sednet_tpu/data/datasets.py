@@ -34,11 +34,17 @@ class _H5Dataset:
     """Shared per-item pipeline over in-memory arrays."""
 
     def __init__(self, points, labels, normals, prim, edges=None, edges_w=None,
-                 *, train=False, augment=True, noise=False, noise_level=0,
-                 num_points=10000, max_segments=50, seed=0,
+                 edges1w=None, *, train=False, augment=True, noise=False,
+                 noise_level=0, num_points=10000, max_segments=50, seed=0,
                  use_native=False):
         self.points = points.astype(np.float32)
-        self.points -= self.points.mean(1, keepdims=True)
+        means = self.points.mean(1, keepdims=True)
+        self.points -= means
+        # the optional "edge" channel is a separate ~1w-point edge cloud,
+        # centered with the SAME per-shape mean as the points
+        # (reference: src/dataset_segments_my.py:395-410)
+        self.edges1w = (None if edges1w is None
+                        else edges1w.astype(np.float32) - means)
         self.labels = labels
         self.normals = None if normals is None else normals.astype(np.float32)
         self.prim = prim
@@ -108,6 +114,10 @@ class _H5Dataset:
         elif self.train:
             sel = self.rng.permutation(n)
             item = {k: v[sel] for k, v in item.items()}
+        if self.edges1w is not None:
+            # separate edge point cloud — not subject to the per-point
+            # shuffle (its rows don't correspond to the shape's points)
+            item["edges1w"] = self.edges1w[index]
         return item
 
 
@@ -134,18 +144,25 @@ class ParseNetDataset(_H5Dataset):
 
 class EdgeDataset(_H5Dataset):
     """data/{split}_data_withEdge.h5 + data/train_My_Edge.h5
-    (reference: src/dataset_segments_my.py:360)."""
+    (reference: src/dataset_segments_my.py:360). ret_edges1w additionally
+    loads the optional "edge" 1w-point edge-cloud channel (reference
+    :394-397,409-410)."""
 
     def __init__(self, prefix: str, *, train: bool, normals: bool = True,
-                 **kw):
+                 ret_edges1w: bool = False, **kw):
         split = "train" if train else "test"
         path = os.path.join(prefix, "data", f"{split}_data_withEdge.h5")
-        pts, labels, nrm, prim = _h5_arrays(
-            path, ["points", "labels", "normals", "prim"])
+        keys = ["points", "labels", "normals", "prim"]
+        if ret_edges1w:
+            keys.append("edge")
+        arrays = _h5_arrays(path, keys)
+        pts, labels, nrm, prim = arrays[:4]
+        edges1w = arrays[4] if ret_edges1w else None
         edge_path = os.path.join(prefix, "data", "train_My_Edge.h5")
         edges, edges_w = _h5_arrays(edge_path, ["label", "W"])
         super().__init__(pts, labels, nrm if normals else None, prim,
-                         edges=edges, edges_w=edges_w, train=train, **kw)
+                         edges=edges, edges_w=edges_w, edges1w=edges1w,
+                         train=train, **kw)
 
 
 class MixedDataset:
@@ -172,19 +189,22 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0, starts: int = 0):
+        """starts: skip the first `starts` items (sequential eval resume,
+        reference: generate_predictions_aug.py:69,176)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.starts = starts
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) - self.starts
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
-        order = np.arange(len(self.dataset))
+        order = np.arange(self.starts, len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):

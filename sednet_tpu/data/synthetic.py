@@ -172,7 +172,17 @@ def write_edge_h5(root: str, *, n_shapes: int = 4, n_points: int = 512,
             hf.create_dataset("labels", data=d["labels"])
             hf.create_dataset("normals", data=d["normals"])
             hf.create_dataset("prim", data=d["prim"])
-            hf.create_dataset("edge", data=d["points"])  # 1w-edge channel stub
+            # "edge" = a separate cloud of points ON the shape's edges,
+            # resampled to n_points per shape (reference schema:
+            # src/dataset_segments_my.py:394-397)
+            edge_clouds = np.zeros_like(d["points"])
+            for i in range(d["points"].shape[0]):
+                on_edge = np.nonzero(d["edges"][i])[0]
+                if on_edge.size == 0:
+                    on_edge = np.arange(d["points"].shape[1])
+                sel = rng.choice(on_edge, d["points"].shape[1], replace=True)
+                edge_clouds[i] = d["points"][i, sel]
+            hf.create_dataset("edge", data=edge_clouds)
         if split == "train":
             with h5py.File(os.path.join(root, "data", "train_My_Edge.h5"),
                            "w") as hf:

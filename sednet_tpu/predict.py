@@ -147,6 +147,22 @@ def spectral_embed(xyz, normals, cfg: Config, shape_id=None,
     return v, ent
 
 
+@functools.partial(jax.jit, static_argnames=("num_samples", "iterations"))
+def _cluster_shapes_xla(keys, emb, quantile, num_samples: int,
+                        iterations: int):
+    """Fixed-iteration mean-shift vmapped across shapes (pure XLA — runs
+    sharded over a device mesh; guard retries for the rare >max_clusters
+    shapes happen per shape on the caller side)."""
+    from sednet_tpu.cluster import mean_shift
+
+    def one(k, e):
+        res = mean_shift(k, e, num_samples=num_samples, quantile=quantile,
+                         iterations=iterations, kernel_type="gaussian")
+        return res.labels, res.num_clusters
+
+    return jax.vmap(one)(keys, emb)
+
+
 def predict_shapes(
     model: SEDNet,
     params_type,
@@ -161,15 +177,25 @@ def predict_shapes(
     shape_ids=None,
     tta_fn=None,
     forward_fn=None,
+    mesh=None,
 ):
     """Run the full per-shape pipeline on a batch dict; returns a list of
     per-shape result dicts (cluster ids, pred types, metrics).
 
     Pass tta_fn/forward_fn (from make_tta_type_log_prob / make_forward) when
-    calling repeatedly — a fresh closure per call would retrace."""
+    calling repeatedly — a fresh closure per call would retrace.
+
+    mesh: optional jax Mesh — shards the shape axis over devices (forward,
+    TTA and, without hpnet, the clustering; SURVEY §2.9's shape-level
+    parallelism replacing the reference's per-shape loop,
+    generate_predictions_aug.py:178-213)."""
     x = np.concatenate([batch["points"], batch["normals"]], -1).astype(
         np.float32) if cfg.normals else batch["points"].astype(np.float32)
     x = jnp.asarray(x)
+    if mesh is not None:
+        from sednet_tpu.parallel import shard_batch
+
+        x = shard_batch(x, mesh)
 
     if tta_fn is None:
         tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
@@ -178,9 +204,29 @@ def predict_shapes(
     type_lp = tta_fn(params_type, x)                      # (B, N, 6)
     _, embedding, edge_logits = forward_fn(params_inst, x)
 
-    results = []
     b = x.shape[0]
+    sharded_labels = None
+    if mesh is not None and not cfg.hpnet_embed:
+        emb = embedding / jnp.clip(
+            jnp.linalg.norm(embedding, axis=-1, keepdims=True), min=1e-12)
+        keys = jax.random.split(jax.random.fold_in(key, 1000), b)
+        labels_all, nums_all = _cluster_shapes_xla(
+            keys, emb, jnp.float32(cfg.ms_quantile),
+            min(cfg.ms_num_samples, cfg.num_points), cfg.ms_iterations)
+        sharded_labels = (np.asarray(labels_all), np.asarray(nums_all))
+
+    results = []
     for i in range(b):
+        if sharded_labels is not None:
+            labels_i, num_i = (sharded_labels[0][i],
+                               int(sharded_labels[1][i]))
+            if num_i <= cfg.ms_max_clusters - 1:
+                pred_prim = np.asarray(type_lp[i].argmax(-1))
+                results.append(_shape_metrics(
+                    labels_i, num_i, pred_prim, batch, i,
+                    np.asarray(jax.nn.softmax(edge_logits[i], -1))))
+                continue
+            # rare guard retry falls through to the per-shape path
         sid = shape_ids[i] if shape_ids is not None else None
         emb_i = embedding[i]
         if cfg.hpnet_embed:
@@ -201,22 +247,30 @@ def predict_shapes(
             retry_factor=cfg.ms_retry_factor)
         cluster_ids = np.asarray(res.labels)
         pred_prim = np.asarray(type_lp[i].argmax(-1))
-
-        weights = to_one_hot(cluster_ids, max(int(res.num_clusters), 1))
-        s_iou, p_iou, _, _, s_recall = siou_matched_segments_usecd(
-            batch["labels"][i].astype(np.int64), cluster_ids,
-            pred_prim.astype(np.int64),
-            batch["prim"][i].astype(np.int64), weights, batch["points"][i])
-        results.append({
-            "cluster_ids": cluster_ids,
-            "pred_primitives": pred_prim,
-            "edge_prob": np.asarray(jax.nn.softmax(edge_logits[i], -1)),
-            "inst_iou": s_iou,
-            "type_iou": p_iou,
-            "inst_recall": s_recall,
-            "num_clusters": int(res.num_clusters),
-        })
+        results.append(_shape_metrics(
+            cluster_ids, int(res.num_clusters), pred_prim, batch, i,
+            np.asarray(jax.nn.softmax(edge_logits[i], -1))))
     return results
+
+
+def _shape_metrics(cluster_ids, num_clusters: int, pred_prim, batch: dict,
+                   i: int, edge_prob) -> dict:
+    """Hungarian-matched IoU metrics for one shape
+    (reference: generate_predictions_aug.py:389-411)."""
+    weights = to_one_hot(cluster_ids, max(num_clusters, 1))
+    s_iou, p_iou, _, _, s_recall = siou_matched_segments_usecd(
+        batch["labels"][i].astype(np.int64), cluster_ids,
+        pred_prim.astype(np.int64),
+        batch["prim"][i].astype(np.int64), weights, batch["points"][i])
+    return {
+        "cluster_ids": cluster_ids,
+        "pred_primitives": pred_prim,
+        "edge_prob": edge_prob,
+        "inst_iou": s_iou,
+        "type_iou": p_iou,
+        "inst_recall": s_recall,
+        "num_clusters": num_clusters,
+    }
 
 
 def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict,
@@ -270,8 +324,15 @@ def run_postproc(out_dir: str, shape_id, batch_i: dict, result: dict):
 def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
                    multi_vote=False, fold5drop=False, out_dir=None,
                    batch_size=8, limit=None, params_type=None,
-                   params_inst=None, postproc=False):
-    from sednet_tpu.data import BatchLoader, ParseNetDataset
+                   params_inst=None, postproc=False, starts=0,
+                   mesh_devices=0):
+    """Test loop. Dataset follows config.dataset: "my" tests on the SED-Net
+    EdgeDataset set (2700 shapes), anything else on ParseNet (4163)
+    (reference: generate_predictions_aug.py:90-98,176). `starts` skips the
+    first shapes and offsets logged ids (reference :69,176,408); `limit`
+    defaults to config.num_test. mesh_devices > 1 shards shape batches over
+    a device mesh."""
+    from sednet_tpu.data import BatchLoader, EdgeDataset, ParseNetDataset
 
     logging.basicConfig(level=logging.INFO)
     model = build_model(cfg)
@@ -284,10 +345,29 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
         if "params" in params_inst:
             params_inst = params_inst["params"]
 
-    ds = ParseNetDataset(data_root, train=False, normals=cfg.normals,
+    if cfg.dataset == "my":
+        ds = EdgeDataset(data_root, train=False, normals=cfg.normals,
                          num_points=cfg.num_points,
                          max_segments=cfg.ms_max_clusters)
-    loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False)
+    else:
+        ds = ParseNetDataset(data_root, train=False, normals=cfg.normals,
+                             num_points=cfg.num_points,
+                             max_segments=cfg.ms_max_clusters)
+    if limit is None and cfg.num_test:
+        limit = cfg.num_test
+    mesh = None
+    if mesh_devices and mesh_devices > 1:
+        from sednet_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh(mesh_devices)
+        if batch_size % mesh_devices:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size "
+                f"{mesh_devices}")
+        params_type = replicate(params_type, mesh)
+        params_inst = replicate(params_inst, mesh)
+    loader = BatchLoader(ds, batch_size, shuffle=False, drop_last=False,
+                         starts=starts)
     out_dir = out_dir or "predictions/results"
     cache = SpectralCache(os.path.join(out_dir, "normal_smooth_cache"),
                           cfg.spectral_sigma, cfg.spectral_knn)
@@ -296,14 +376,23 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
 
     key = jax.random.PRNGKey(cfg.seed)
     all_metrics = []
-    sid = 0
+    sid = starts
     for batch in loader:
-        ids = list(range(sid, sid + batch["points"].shape[0]))
+        b = batch["points"].shape[0]
+        pad = 0
+        if mesh is not None and b % mesh_devices:
+            pad = mesh_devices - b % mesh_devices  # final partial batch
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
+        ids = list(range(sid, sid + b))
         results = predict_shapes(model, params_type, params_inst, batch, cfg,
                                  key=key, multi_vote=multi_vote,
                                  fold5drop=fold5drop, cache=cache,
                                  shape_ids=ids, tta_fn=tta_fn,
-                                 forward_fn=forward_fn)
+                                 forward_fn=forward_fn, mesh=mesh)
+        results = results[: b]
+        if limit:
+            results = results[: max(limit - (sid - starts), 0)]
         for i, r in enumerate(results):
             logger.info("ID:%d | inst_iou: %s type_iou: %s inst_recall: %s",
                         ids[i], r["inst_iou"], r["type_iou"], r["inst_recall"])
@@ -314,7 +403,7 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
             if postproc:
                 run_postproc(out_dir, ids[i], item, r)
         sid += len(results)
-        if limit and sid >= limit:
+        if limit and sid - starts >= limit:
             break
 
     summary = {
@@ -329,14 +418,31 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
 
 
 def main(argv=None):
+    """Positional flags match the reference CLI (readme.md:18-22); extras:
+    --mesh N shards shape batches over N devices, --starts S skips the
+    first S test shapes (reference module constant,
+    generate_predictions_aug.py:69)."""
     argv = sys.argv[1:] if argv is None else argv
-    cfg = load_config(argv[0])
-    save_viz = not (len(argv) > 1 and argv[1] == "NoSave")
-    multi_vote = len(argv) > 2 and argv[2] == "multi_vote"
-    fold5drop = len(argv) > 3 and argv[3] == "fold5drop"
-    postproc = "postproc" in argv[1:]
+    mesh_devices, starts, batch_size = 0, 0, 8
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--mesh":
+            mesh_devices = int(next(it))
+        elif a == "--starts":
+            starts = int(next(it))
+        elif a == "--batch-size":
+            batch_size = int(next(it))
+        else:
+            pos.append(a)
+    cfg = load_config(pos[0])
+    save_viz = not (len(pos) > 1 and pos[1] == "NoSave")
+    multi_vote = len(pos) > 2 and pos[2] == "multi_vote"
+    fold5drop = len(pos) > 3 and pos[3] == "fold5drop"
+    postproc = "postproc" in pos[1:]
     run_prediction(cfg, save_viz=save_viz, multi_vote=multi_vote,
-                   fold5drop=fold5drop, postproc=postproc)
+                   fold5drop=fold5drop, postproc=postproc, starts=starts,
+                   mesh_devices=mesh_devices, batch_size=batch_size)
 
 
 if __name__ == "__main__":

