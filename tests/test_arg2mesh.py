@@ -80,3 +80,131 @@ def test_mesh_builders_quadrics(tmp_path):
     save_obj(str(tmp_path / "t.obj"), v, f)
     text = open(tmp_path / "t.obj").read()
     assert text.count("v ") == v.shape[0]
+
+
+def _mesh_area(verts, faces):
+    area = 0.0
+    for f in faces:
+        idx = [i - 1 for i in f]
+        for k in range(1, len(idx) - 1):
+            a, b, c = verts[idx[0]], verts[idx[k]], verts[idx[k + 1]]
+            area += 0.5 * np.linalg.norm(np.cross(b - a, c - a))
+    return area
+
+
+def _line(p0, p1):
+    p0, p1 = np.asarray(p0, float), np.asarray(p1, float)
+    d = p1 - p0
+    t = np.linalg.norm(d)
+    return ["line", d / t, p0, [0.0, t]]
+
+
+def _winding_inside(poly, p):
+    x, y = poly[:, 0], poly[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    crossing = ((y <= p[1]) != (y1 <= p[1])) & (
+        p[0] < x + (p[1] - y) * (x1 - x) / (y1 - y + 1e-30))
+    return crossing.sum() % 2 == 1
+
+
+def test_plane_mesh_L_shape_no_spill():
+    """Non-convex L face: triangulation covers exactly the L area and no
+    triangle spills outside the boundary (reference polygon walk + CDT,
+    arg2mesh.py:237-332)."""
+    from sednet_tpu.postproc.arg2mesh import plane_mesh
+
+    L = [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)]
+    curves = {i: _line((*L[i], 0.0), (*L[(i + 1) % 6], 0.0))
+              for i in range(6)}
+    par = ["plane", np.array([0.0, 0, 1]), 0.0]
+    verts, faces = plane_mesh(par, curves)
+    assert abs(_mesh_area(verts, faces) - 3.0) < 1e-6  # L area = 4 - 1
+    poly = np.asarray(L, float)
+    for f in faces:
+        tri = verts[[i - 1 for i in f]][:, :2]
+        centroid = tri.mean(0)
+        assert _winding_inside(poly, centroid), centroid
+
+
+def test_plane_mesh_with_circular_hole():
+    """Square face with a circular hole: hole area excluded (reference hole
+    handling arg2mesh.py:89-111)."""
+    from sednet_tpu.postproc.arg2mesh import CIRCLE_V, plane_mesh
+
+    sq = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+    curves = {i: _line((*sq[i], 0.0), (*sq[(i + 1) % 4], 0.0))
+              for i in range(4)}
+    r = 0.5
+    curves[4] = ["circle", np.zeros(3), np.array([1.0, 0, 0]),
+                 np.array([0.0, 1, 0]), r, [0.0, 2 * np.pi]]
+    par = ["plane", np.array([0.0, 0, 1]), 0.0]
+    verts, faces = plane_mesh(par, curves)
+    # hole is a CIRCLE_V-gon: its area is the polygon area, not pi r^2
+    k = CIRCLE_V - 1
+    hole_area = 0.5 * k * r * r * np.sin(2 * np.pi / k)
+    want = 4.0 - hole_area
+    got = _mesh_area(verts, faces)
+    assert abs(got - want) / want < 0.02, (got, want)
+    # nothing inside the hole
+    for f in faces:
+        tri = verts[[i - 1 for i in f]][:, :2]
+        centroid = tri.mean(0)
+        assert np.linalg.norm(centroid) > r * 0.95, centroid
+
+
+def test_cylinder_cone_angular_clipping():
+    """Partial-angle boundary circles clip the lateral surface (reference
+    sample_circleEdge_absCoord t ranges, arg2mesh.py:346-403)."""
+    from sednet_tpu.postproc.arg2mesh import cone_mesh, cylinder_mesh
+
+    r, h = 0.4, 1.0
+    rng_u = [0.0, np.pi / 2]
+    circ0 = ["circle", np.zeros(3), np.array([1.0, 0, 0]),
+             np.array([0.0, 1, 0]), r, rng_u]
+    circ1 = ["circle", np.array([0.0, 0, h]), np.array([1.0, 0, 0]),
+             np.array([0.0, 1, 0]), r, rng_u]
+    cyl = ["cylinder", np.array([0.0, 0, 1]), np.zeros(3), r]
+    v, f = cylinder_mesh(cyl, {0: circ0, 1: circ1})
+    ang = np.arctan2(v[:, 1], v[:, 0])
+    assert ang.min() >= -1e-6 and ang.max() <= np.pi / 2 + 1e-6
+    want = r * (np.pi / 2) * h  # quarter-cylinder lateral area
+    got = _mesh_area(v, f)
+    assert abs(got - want) / want < 0.02, (got, want)
+
+    cone = ["cone", np.zeros(3), np.array([0.0, 0, 1]), 0.5]
+    v, f = cone_mesh(cone, {0: circ1})
+    ang = np.arctan2(v[:, 1], v[:, 0])
+    assert ang.min() >= -1e-6 and ang.max() <= np.pi / 2 + 1e-6
+
+
+def test_box_with_cylindrical_boss_areas():
+    """VERDICT fixture: a box top face with a cylindrical boss — the top
+    plane gets a circular hole where the boss meets it, the boss wall is a
+    full ring; per-face area within a few % of analytic."""
+    from sednet_tpu.postproc.arg2mesh import (CIRCLE_V, cylinder_mesh,
+                                              plane_mesh)
+
+    r, boss_h = 0.3, 0.4
+    sq = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+    top_curves = {i: _line((*sq[i], 1.0), (*sq[(i + 1) % 4], 1.0))
+                  for i in range(4)}
+    top_curves[4] = ["circle", np.array([0.0, 0, 1.0]),
+                     np.array([1.0, 0, 0]), np.array([0.0, 1, 0]), r,
+                     [0.0, 2 * np.pi]]
+    top = ["plane", np.array([0.0, 0, 1]), 1.0]
+    v, f = plane_mesh(top, top_curves)
+    k = CIRCLE_V - 1
+    hole_area = 0.5 * k * r * r * np.sin(2 * np.pi / k)
+    assert abs(_mesh_area(v, f) - (4.0 - hole_area)) / 4.0 < 0.02
+
+    boss_curves = {
+        0: ["circle", np.array([0.0, 0, 1.0]), np.array([1.0, 0, 0]),
+            np.array([0.0, 1, 0]), r, [0.0, 2 * np.pi]],
+        1: ["circle", np.array([0.0, 0, 1.0 + boss_h]),
+            np.array([1.0, 0, 0]), np.array([0.0, 1, 0]), r,
+            [0.0, 2 * np.pi]],
+    }
+    boss = ["cylinder", np.array([0.0, 0, 1]), np.array([0.0, 0, 1.0]), r]
+    v, f = cylinder_mesh(boss, boss_curves)
+    want = 2 * np.pi * r * boss_h
+    assert abs(_mesh_area(v, f) - want) / want < 0.02
