@@ -168,14 +168,27 @@ def basis_matrix(params: np.ndarray, n_ctrl: int, degree: int) -> np.ndarray:
 
 def optimize_spline_kronecker(recon: np.ndarray, input_points: np.ndarray,
                               closed: bool = False, new_cp: int = 10,
-                              degree: int = 3, grid: int = 30) -> np.ndarray:
-    """Refit: Hungarian-match predicted surface samples to the input cloud,
-    LS-fit a fresh control grid through the matches, resample
-    (pure-LS stand-in for the reference's geomdl/ARAP refinement,
-    src/primitive_forward.py:157-300, 303-349)."""
+                              degree: int = 3, grid: int = 30,
+                              deform: bool = True) -> np.ndarray:
+    """Refit: ARAP-deform the predicted grid toward the input cloud, then
+    Hungarian-match surface samples to the cloud and LS-fit a fresh control
+    grid through the matches (reference: optimize_*_spline_kronecker with
+    deform=True, src/primitive_forward.py:157-300; ARAP
+    src/fitting_optimization.py:32-114)."""
     from scipy.optimize import linear_sum_assignment
 
     pts = recon.reshape(-1, 3)
+    if deform and input_points.shape[0] >= 30:
+        from sednet_tpu.fit.arap import arap_deform
+
+        n = pts.shape[0]
+        if closed:  # wrapped grid: (sv + 1) x sv vertices
+            sv = int(round((np.sqrt(4 * n + 1) - 1) / 2))
+            su = sv + 1
+        else:
+            su = sv = int(round(np.sqrt(n)))
+        if su * sv == n and su >= 3 and sv >= 3:
+            pts = arap_deform(pts, input_points, su, sv)
     m = min(input_points.shape[0], pts.shape[0])
     sel_r = np.linspace(0, pts.shape[0] - 1, m).astype(int)
     pts_s = pts[sel_r]
