@@ -54,6 +54,10 @@ def main():
     p.add_argument("--all", action="store_true")
     args = p.parse_args()
 
+    from sednet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -71,17 +71,20 @@ def _kernel(dist, b, kernel_type: str):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iterations", "kernel_type", "backend"))
+    jax.jit,
+    static_argnames=("iterations", "kernel_type", "backend", "interpret"))
 def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
                        kernel_type: str = "gaussian",
-                       backend: str = "auto") -> jax.Array:
+                       backend: str = "auto",
+                       interpret: bool = False) -> jax.Array:
     """Fixed-trip mean-shift updates (reference: src/mean_shift.py:45-79).
 
     x: (N, E), assumed unit-norm. Returns shifted (N, E).
 
     backend "pallas" uses the fused flash-style step (gaussian kernel on TPU:
     no N x N matrix in HBM, see sednet_tpu.ops.pallas_kernels); "xla" is the
-    reference-shaped fallback; "auto" picks pallas on TPU."""
+    reference-shaped fallback; "auto" picks pallas on TPU. interpret runs the
+    pallas step in interpreter mode (CPU tests)."""
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() == "tpu"
                    and kernel_type == "gaussian" else "xla")
@@ -90,7 +93,8 @@ def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
         from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas
 
         def body(_, new_x):
-            return mean_shift_step_pallas(new_x, x, bandwidth)
+            return mean_shift_step_pallas(new_x, x, bandwidth,
+                                          interpret=interpret)
 
         return lax.fori_loop(0, iterations, body, x)
 

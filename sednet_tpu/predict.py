@@ -422,6 +422,9 @@ def main(argv=None):
     --mesh N shards shape batches over N devices, --starts S skips the
     first S test shapes (reference module constant,
     generate_predictions_aug.py:69)."""
+    from sednet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     mesh_devices, starts, batch_size = 0, 0, 8
     pos = []

@@ -399,6 +399,9 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
 def main(argv=None):
     import argparse
 
+    from sednet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--data-root", default=".")

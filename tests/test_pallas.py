@@ -53,3 +53,39 @@ def test_mean_shift_step_padding_is_masked(rng):
         xj, xj, jnp.float32(0.5), row_block=64, col_block=128,
         interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_cluster_level_backend_parity(rng):
+    """Full 50-iteration mean-shift: the fused Pallas backend and the
+    reference-shaped XLA backend must produce the SAME cluster labels and
+    near-identical shifted points (SURVEY §7.4 item 3 pinned by test; the
+    production-scale TPU audit lives in scripts/audit_clustering.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sednet_tpu.cluster.mean_shift import (compute_bandwidth,
+                                               mean_shift_iterate, nms)
+
+    n, e, k = 512, 16, 5
+    dirs = rng.randn(k, e)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    lab = rng.randint(0, k, n)
+    x = dirs[lab] + 0.05 * rng.randn(n, e)
+    x = jnp.asarray((x / np.linalg.norm(x, axis=1, keepdims=True)).astype(
+        np.float32))
+    bw = jnp.clip(compute_bandwidth(jax.random.PRNGKey(0), x, n,
+                                    jnp.float32(0.05)), min=0.003)
+    sp = mean_shift_iterate(x, bw, 50, backend="pallas", interpret=True)
+    sx = mean_shift_iterate(x, bw, 50, backend="xla")
+    drift = float(np.abs(np.asarray(sp) - np.asarray(sx)).max())
+    assert drift < 1e-4, drift
+    lp, _, np_p = nms(sp, x, bw)
+    lx, _, np_x = nms(sx, x, bw)
+    assert int(np_p) == int(np_x)
+    # identical PARTITION (compact ids may permute with which center row
+    # survives NMS under float drift)
+    lp, lx = np.asarray(lp), np.asarray(lx)
+    mapping = {}
+    for a, b in zip(lp.tolist(), lx.tolist()):
+        assert mapping.setdefault(a, b) == b, (a, b, mapping)
+    assert len(mapping) == int(np_p)
