@@ -33,7 +33,13 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("k", "nearest"))
 def _neighbor_idx(xyz: jax.Array, k: int, nearest: bool) -> jax.Array:
     """(N, 3) -> (N, k) neighbour indices (farthest by default — see module
-    docstring)."""
+    docstring). Uses the fused Pallas top-k on TPU (no N x N in HBM)."""
+    from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
+
+    n = xyz.shape[0]
+    if (jax.default_backend() == "tpu"
+            and pallas_topk_supported(n, xyz.shape[1], k)):
+        return topk_pallas(xyz, xyz, k, largest=not nearest)
     d = pairwise_sqdist(xyz, xyz)
     _, idx = lax.top_k(-d if nearest else d, k)
     return idx

@@ -122,7 +122,8 @@ def _dist_tile(q_t, p_tile, qq, metric: str, w: float):
     return dp * (1.0 + w * dn)
 
 
-def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float):
+def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
+                 largest: bool = False):
     def kernel(q_ref, p_ref, iv_ref, ii_ref):
         q_t = q_ref[:]                                    # (D, RB)
         if metric == "sqdist":
@@ -137,6 +138,8 @@ def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float):
             col0 = j * W
             p_tile = p_ref[:, pl.ds(pl.multiple_of(col0, W), W)]
             d = _dist_tile(q_t, p_tile, qq, metric, w)
+            if largest:
+                d = -d  # select the k FARTHEST (spectral quirk support)
             col = lane + col0                              # (1, W)
             d = jnp.where(col < n_valid, d, _INF)
             tile_i = jnp.broadcast_to(col, (rb, W))
@@ -154,12 +157,14 @@ def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "normal_metric_w", "row_block",
-                     "interpret", "return_distances"))
+                     "interpret", "return_distances", "largest"))
 def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
                 metric: str = "sqdist", normal_metric_w: float = 1.0,
                 row_block: int = 512, interpret: bool = False,
-                return_distances: bool = False):
-    """Exact k-nearest rows of p for every row of q, nearest first.
+                return_distances: bool = False, largest: bool = False):
+    """Exact k-nearest rows of p for every row of q, nearest first
+    (largest=True selects the k FARTHEST instead — the spectral
+    enrichment's reference quirk, smooth_normal_matrix.py:33-39).
 
     q: (M, D) or (B, M, D); p: (N, D) or (B, N, D) float32. Returns int32
     indices (..., M, k) (and the distances when return_distances). k <= 128.
@@ -170,7 +175,8 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
         f = functools.partial(
             topk_pallas, k=k, metric=metric,
             normal_metric_w=normal_metric_w, row_block=row_block,
-            interpret=interpret, return_distances=return_distances)
+            interpret=interpret, return_distances=return_distances,
+            largest=largest)
         return jax.vmap(f)(q, p)
     if not 1 <= k <= W:
         raise ValueError(f"k={k} outside [1, {W}]")
@@ -191,7 +197,7 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     p_t = jnp.pad(p.astype(jnp.float32).T,
                   ((0, d_pad - dim), (0, n_cols - n)))
 
-    kernel = _make_kernel(n, n_cols // W, metric, normal_metric_w)
+    kernel = _make_kernel(n, n_cols // W, metric, normal_metric_w, largest)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(n_rows // rb,),
@@ -214,7 +220,8 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
         interpret=interpret,
     )(q_t, p_t)
     if return_distances:
-        return idx[:m, :k], dist[:m, :k]
+        d = dist[:m, :k]
+        return idx[:m, :k], (-d if largest else d)
     return idx[:m, :k]
 
 

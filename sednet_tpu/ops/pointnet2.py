@@ -56,7 +56,14 @@ def three_nn(unknown: jax.Array, known: jax.Array):
     """3 nearest neighbours of each unknown point among known points.
 
     (B, N, 3), (B, M, 3) -> (dist (B, N, 3), idx (B, N, 3)); euclidean
-    distances like the CUDA kernel (interpolate_gpu.cu)."""
+    distances like the CUDA kernel (interpolate_gpu.cu). On TPU this rides
+    the fused Pallas top-k (no N x M matrix in HBM)."""
+    from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
+
+    if (jax.default_backend() == "tpu"
+            and pallas_topk_supported(known.shape[1], known.shape[2], 3)):
+        idx, d = topk_pallas(unknown, known, 3, return_distances=True)
+        return jnp.sqrt(jnp.clip(d, min=0.0)), idx
 
     def one(u, k):
         d = pairwise_sqdist(u, k)

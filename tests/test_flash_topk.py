@@ -117,3 +117,21 @@ def test_edge_conv_factorization_identity(rng):
     fast, slow = m.apply(v, x, idx)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_largest_mode_matches_xla(rng):
+    """largest=True selects the k FARTHEST rows — the spectral enrichment's
+    reference quirk (smooth_normal_matrix.py:33-39)."""
+    x = rng.randn(300, 3).astype(np.float32)
+    idx = np.asarray(topk_pallas(jnp.asarray(x), jnp.asarray(x), 16,
+                                 largest=True, interpret=True))
+    d2 = _sqdist(x, x)
+    want = np.sort(d2, axis=1)[:, -16:]
+    got = np.sort(np.take_along_axis(d2, idx, 1), 1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # farthest-first ordering
+    raw = np.take_along_axis(d2, idx, 1)
+    assert (np.diff(raw, axis=1) <= 1e-5).all()
+    _, dist = topk_pallas(jnp.asarray(x), jnp.asarray(x), 16, largest=True,
+                          interpret=True, return_distances=True)
+    np.testing.assert_allclose(np.asarray(dist), raw, atol=1e-4)
