@@ -280,6 +280,15 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
     run_dir = run_dir or os.path.join("trains", model_name)
     os.makedirs(run_dir, exist_ok=True)
     cfg.save(os.path.join(run_dir, "config.json"))
+    # snapshot the entry script alongside the config, like the reference
+    # run-dir convention (train_sed_net.py:73-79)
+    try:
+        import shutil
+
+        shutil.copy(os.path.abspath(__file__),
+                    os.path.join(run_dir, "train_entry.py"))
+    except OSError:
+        pass
     logging.basicConfig(level=logging.INFO)
 
     mesh = make_mesh(cfg.mesh_shape)
