@@ -97,11 +97,17 @@ def main():
 
     results = []
 
+    def emit(rec):
+        # print immediately: a later section's failure must not lose
+        # earlier configs' numbers
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
     if args.all:
         # 1. single-shape backbone forward
         dt = _time(lambda: forward(variables, x[:1])[0], iters=5)
-        results.append({"metric": "single-shape forward (10k pts)",
-                        "value": round(1.0 / dt, 3), "unit": "shapes/sec"})
+        emit({"metric": "single-shape forward (10k pts)",
+              "value": round(1.0 / dt, 3), "unit": "shapes/sec"})
 
         # 3. full pipeline: clustering + batched fits + residual eval
         from sednet_tpu.fit import Evaluation, FittingModule
@@ -121,10 +127,9 @@ def main():
         t0 = time.time()
         full_pipeline()
         dt_full = time.time() - t0
-        results.append({"metric":
-                        "full pipeline (cluster + fits + residuals)",
-                        "value": round(BATCH / dt_full, 3),
-                        "unit": "shapes/sec/chip"})
+        emit({"metric": "full pipeline (cluster + fits + residuals)",
+              "value": round(BATCH / dt_full, 3),
+              "unit": "shapes/sec/chip"})
 
         # 4. multi-vote TTA pipeline
         from sednet_tpu.predict import make_tta_type_log_prob
@@ -139,15 +144,17 @@ def main():
             return labels
 
         dt = _time(tta_pipeline, jax.random.PRNGKey(4))
-        results.append({"metric": "multi-vote TTA pipeline",
-                        "value": round(BATCH / dt, 3),
-                        "unit": "shapes/sec/chip"})
+        emit({"metric": "multi-vote TTA pipeline",
+              "value": round(BATCH / dt, 3),
+              "unit": "shapes/sec/chip"})
 
         # 5. training step (4-term loss)
         from sednet_tpu.train import TrainState, make_optimizer, make_train_step
 
         opt = make_optimizer(cfg)
-        params = variables["params"]
+        # deep-copy: the jitted train step DONATES the state buffers, and
+        # the headline section still needs `variables` alive afterwards
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
         state = TrainState(params, opt.init(params), jnp.int32(0))
         step = make_train_step(model, opt, cfg)
         batch = {
@@ -162,14 +169,20 @@ def main():
                 [s["edges_w"] for s in shapes[:4]]).astype(np.float32)),
         }
 
+        state_box = [state]
+
         def train_once(key):
-            s2, metrics = step(state, batch, key)
+            # carry the state: the jitted step donates its buffers, so
+            # re-feeding the same state object would use freed memory
+            s2, metrics = step(state_box[0], batch, key)
+            state_box[0] = s2
             return metrics["loss"]
 
         dt = _time(train_once, jax.random.PRNGKey(5))
-        results.append({"metric": "train step (batch 4, 4-term loss)",
-                        "value": round(4.0 / dt, 3),
-                        "unit": "shapes/sec/chip"})
+        emit({"metric": "train step (batch 4, 4-term loss)",
+              "value": round(4.0 / dt, 3),
+              "unit": "shapes/sec/chip"})
+        del state_box, state  # release the donated-chain buffers
 
     # headline (config 2): batched inference, forward + mean-shift
     labels, types = pipeline(variables, x, jax.random.PRNGKey(1))
@@ -182,8 +195,6 @@ def main():
     dt = (time.time() - t0) / iters
     shapes_per_sec = BATCH / dt
 
-    for r in results:
-        print(json.dumps(r))
     print(json.dumps({
         "metric": "End-to-end shapes/sec/chip (10k-pt clouds), forward + mean-shift",
         "value": round(shapes_per_sec, 4),

@@ -123,7 +123,14 @@ def _dist_tile(q_t, p_tile, qq, metric: str, w: float):
 
 
 def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
-                 largest: bool = False):
+                 largest: bool = False, k_lane: int = W - 1):
+    """k_lane = k - 1: a tile whose every distance is >= every row's current
+    (k_lane+1)-th best provably contains no top-k element, so its whole
+    sort+merge (the dominant VPU work) is skipped with a lax.cond. With
+    spatially sorted inputs most tiles skip; correctness never depends on
+    the ordering (lanes past k_lane may go stale, so callers must not read
+    them — topk_pallas slices [:k])."""
+
     def kernel(q_ref, p_ref, iv_ref, ii_ref):
         q_t = q_ref[:]                                    # (D, RB)
         if metric == "sqdist":
@@ -143,7 +150,13 @@ def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
             col = lane + col0                              # (1, W)
             d = jnp.where(col < n_valid, d, _INF)
             tile_i = jnp.broadcast_to(col, (rb, W))
-            return _fold_tile(best_v, best_i, d, tile_i)
+            thresh = best_v[:, k_lane:k_lane + 1]          # (RB, 1)
+            any_hit = jnp.any(jnp.min(d, axis=1, keepdims=True) < thresh)
+            return lax.cond(
+                any_hit,
+                lambda c: _fold_tile(c[0], c[1], d, tile_i),
+                lambda c: c,
+                carry)
 
         init = (jnp.full((rb, W), _INF, jnp.float32),
                 jnp.zeros((rb, W), jnp.int32))
@@ -154,14 +167,48 @@ def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
     return kernel
 
 
+def _spread_bits(v: jax.Array) -> jax.Array:
+    """Insert two zero bits between the low 10 bits (Morton spreading)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _locality_order(x: jax.Array) -> jax.Array:
+    """Permutation sorting rows along a Morton curve of their top-3
+    principal projections — queries near each other in space land in the
+    same row block, so the kernel's threshold skip prunes far column tiles.
+    Any ordering is CORRECT (the skip test is exact); this one makes it
+    effective. For D > 3 (feature-space kNN) PCA supplies the locality
+    axes."""
+    c = x - jnp.mean(x, axis=0, keepdims=True)
+    if x.shape[1] > 3:
+        cov = (c.T @ c).astype(jnp.float32)
+        _, vecs = jnp.linalg.eigh(cov)        # ascending eigenvalues
+        c = c @ vecs[:, -3:]
+    elif x.shape[1] < 3:
+        c = jnp.pad(c, ((0, 0), (0, 3 - x.shape[1])))
+    lo = jnp.min(c, axis=0, keepdims=True)
+    hi = jnp.max(c, axis=0, keepdims=True)
+    qv = jnp.clip((c - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0,
+                  0.0, 1023.0).astype(jnp.uint32)
+    key = (_spread_bits(qv[:, 0]) | (_spread_bits(qv[:, 1]) << 1)
+           | (_spread_bits(qv[:, 2]) << 2))
+    return jnp.argsort(key)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "normal_metric_w", "row_block",
-                     "interpret", "return_distances", "largest"))
+                     "interpret", "return_distances", "largest",
+                     "spatial_sort"))
 def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
                 metric: str = "sqdist", normal_metric_w: float = 1.0,
-                row_block: int = 512, interpret: bool = False,
-                return_distances: bool = False, largest: bool = False):
+                row_block: int = 256, interpret: bool = False,
+                return_distances: bool = False, largest: bool = False,
+                spatial_sort: bool | None = None):
     """Exact k-nearest rows of p for every row of q, nearest first
     (largest=True selects the k FARTHEST instead — the spectral
     enrichment's reference quirk, smooth_normal_matrix.py:33-39).
@@ -169,14 +216,18 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     q: (M, D) or (B, M, D); p: (N, D) or (B, N, D) float32. Returns int32
     indices (..., M, k) (and the distances when return_distances). k <= 128.
     The transposed point set (D x N, f32) must fit VMEM alongside the row
-    block: D <= ~256 at N = 10k.
+    block: D <= ~256 at N = 10k. spatial_sort Morton-orders rows/columns so
+    the kernel's exact threshold test can skip tiles' sorting work (~50%
+    skipped on CAD clouds, ~10-15% end-to-end — the branch serializes the
+    tile loop). Default None = auto: on for geometric inputs (D <= 8) where
+    locality is real, off for feature-space kNN and largest= mode.
     """
     if q.ndim == 3:
         f = functools.partial(
             topk_pallas, k=k, metric=metric,
             normal_metric_w=normal_metric_w, row_block=row_block,
             interpret=interpret, return_distances=return_distances,
-            largest=largest)
+            largest=largest, spatial_sort=spatial_sort)
         return jax.vmap(f)(q, p)
     if not 1 <= k <= W:
         raise ValueError(f"k={k} outside [1, {W}]")
@@ -185,6 +236,25 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     # cut autodiff at the kernel boundary explicitly.
     q = lax.stop_gradient(q)
     p = lax.stop_gradient(p)
+
+    if spatial_sort is None:
+        spatial_sort = q.shape[1] <= 8
+    if spatial_sort and not largest:
+        key_dims = slice(0, 3) if metric == "points_normals" else slice(None)
+        perm_q = _locality_order(q[:, key_dims])
+        # self-kNN (p is q) recomputes the identical permutation; cross-set
+        # queries get their own column order
+        perm_p = _locality_order(p[:, key_dims])
+        idx_s = topk_pallas(q[perm_q], p[perm_p], k, metric=metric,
+                            normal_metric_w=normal_metric_w,
+                            row_block=row_block, interpret=interpret,
+                            return_distances=return_distances,
+                            largest=largest, spatial_sort=False)
+        inv_q = jnp.argsort(perm_q)
+        if return_distances:
+            idx_s, dist_s = idx_s
+            return perm_p[idx_s][inv_q], dist_s[inv_q]
+        return perm_p[idx_s][inv_q]
 
     m, dim = q.shape
     n = p.shape[0]
@@ -197,7 +267,8 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     p_t = jnp.pad(p.astype(jnp.float32).T,
                   ((0, d_pad - dim), (0, n_cols - n)))
 
-    kernel = _make_kernel(n, n_cols // W, metric, normal_metric_w, largest)
+    kernel = _make_kernel(n, n_cols // W, metric, normal_metric_w, largest,
+                          k_lane=k - 1)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(n_rows // rb,),
