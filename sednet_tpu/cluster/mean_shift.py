@@ -55,11 +55,15 @@ def compute_bandwidth(key: jax.Array, x: jax.Array, num_samples: int,
     sel = jax.random.permutation(key, n)[:m]
     xs = x[sel]
     dist = 2.0 - 2.0 * _dotT(xs, xs)  # (m, m)
-    sorted_d = jnp.sort(dist, axis=1)
     # torch.topk(k, largest=False)[0][:, -1] is the k-th smallest (self
-    # distance 0 included), i.e. sorted index k-1 (mean_shift.py:132-135)
-    k = jnp.clip((quantile * m).astype(jnp.int32), 1, m - 1)
-    kth = jnp.take_along_axis(sorted_d, jnp.full((m, 1), k - 1), axis=1)[:, 0]
+    # distance 0 included), i.e. sorted index k-1 (mean_shift.py:132-135).
+    # Only the k-th column is needed, so a capped partial top-k replaces
+    # the full (m, m) row sort (k = quantile*m = 75 at the defaults; the
+    # cap only binds after ~14 guarded quantile retries).
+    k_cap = min(1024, m)
+    neg, _ = lax.top_k(-dist, k_cap)  # column j = -(j+1)-th smallest
+    k = jnp.clip((quantile * m).astype(jnp.int32), 1, min(m - 1, k_cap))
+    kth = -jnp.take_along_axis(neg, jnp.full((m, 1), k - 1), axis=1)[:, 0]
     return jnp.mean(guard_sqrt(kth, 1e-6))
 
 
@@ -110,24 +114,70 @@ def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
     return lax.fori_loop(0, iterations, body, x)
 
 
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _blocked_colmax(rows: jax.Array, cols: jax.Array, col_score,
+                    block: int = 1024):
+    """For every row r: (max_c score(rows[r] . cols[c], c), its argmax c),
+    streaming column blocks so the (R, C) matrix never hits HBM whole.
+    Strict > keeps the FIRST maximizing column — jnp.argmax tie semantics.
+    col_score(sim_block, c0) -> scored block (R, CB)."""
+    r = rows.shape[0]
+    c = cols.shape[0]
+    cb = min(block, _round_up(c, 8))
+    c_pad = _round_up(c, cb)
+    cols_p = jnp.pad(cols, ((0, c_pad - c), (0, 0)))
+
+    def body(i, carry):
+        best, idx = carry
+        c0 = i * cb
+        blk = lax.dynamic_slice_in_dim(cols_p, c0, cb)
+        sim = _dotT(rows, blk)                            # (R, CB)
+        cid = c0 + jnp.arange(cb, dtype=jnp.int32)[None, :]
+        scored = jnp.where(cid < c, col_score(sim, cid), -jnp.inf)
+        loc = jnp.argmax(scored, axis=1)
+        val = jnp.take_along_axis(scored, loc[:, None], 1)[:, 0]
+        take = val > best
+        return (jnp.where(take, val, best),
+                jnp.where(take, (c0 + loc).astype(jnp.int32), idx))
+
+    init = (jnp.full((r,), -jnp.inf, jnp.float32), jnp.zeros((r,), jnp.int32))
+    best, idx = lax.fori_loop(0, c_pad // cb, body, init)
+    return best, idx
+
+
 def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
     """Fixed-shape non-max suppression (reference: src/mean_shift.py:139-179).
 
-    Returns (labels (N,) compact ids, center_mask (N,), num_clusters)."""
+    Returns (labels (N,) compact ids, center_mask (N,), num_clusters).
+    All three all-pairs steps stream column blocks — at N=10k the dense
+    form writes three 400 MB matrices to HBM; this form writes none."""
     n = x.shape[0]
-    # nearest shifted center for every point
-    membership = jnp.argmin(2.0 - 2.0 * _dotT(centers, x), axis=0)  # (N,)
+    # nearest shifted center for every point: argmin dist == argmax dot on
+    # the unit sphere == first-index argmax (ties included)
+    _, membership = _blocked_colmax(x, centers, lambda s, cid: s)
     counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), membership,
                                  num_segments=n)                     # (N,)
     occupied = counts > 0
-    # centers within bandwidth of each other vote for the heaviest neighbour
-    dist_cc = 2.0 - 2.0 * _dotT(centers, centers)
-    nbrs = (dist_cc < b).astype(jnp.float32)
-    rep = jnp.argmax(nbrs * counts[None, :], axis=1)                 # (N,)
+    # centers within bandwidth of each other vote for the heaviest
+    # neighbour: rep[i] = argmax_j [dist(c_i, c_j) < b] * counts_j
+    bb = b
+
+    def vote(sim, cid):
+        within = (2.0 - 2.0 * sim) < bb
+        return jnp.where(within, counts[cid[0]][None, :], -jnp.inf)
+
+    _, rep = _blocked_colmax(centers, centers, vote)
     center_mask = jnp.zeros((n,), bool).at[rep].max(occupied)
     # assign every point to its most-aligned surviving center
-    sim = jnp.where(center_mask[:, None], _dotT(centers, x), -jnp.inf)
-    raw = jnp.argmax(sim, axis=0)                                    # (N,)
+    masked = jnp.where(center_mask, 0.0, -jnp.inf)
+
+    def survivor_sim(sim, cid):
+        return sim + masked[cid[0]][None, :]
+
+    _, raw = _blocked_colmax(x, centers, survivor_sim)
     compact = (jnp.cumsum(center_mask) - 1).astype(jnp.int32)
     labels = compact[raw]
     return labels, center_mask, center_mask.sum().astype(jnp.int32)

@@ -38,6 +38,25 @@ from sednet_tpu.models import SplineNet
 logger = logging.getLogger("sednet_tpu.splinenet_train")
 
 
+def _poisson_like_select(surf: np.ndarray, n_points: int,
+                         rng: np.random.RandomState) -> np.ndarray:
+    """Blue-noise point selection via farthest-point sampling — matches the
+    evenly spaced Poisson-disk sampling of the reference's pre-generated
+    spline h5 (DataSetControlPointsPoisson) far better than uniform choice.
+    Falls back to with-replacement choice when the surface has fewer samples
+    than requested."""
+    m = surf.shape[0]
+    if m < n_points:
+        return rng.choice(m, n_points, replace=True)
+    sel = np.empty(n_points, np.int64)
+    sel[0] = rng.randint(m)
+    d = ((surf - surf[sel[0]]) ** 2).sum(1)
+    for i in range(1, n_points):
+        sel[i] = int(np.argmax(d))
+        d = np.minimum(d, ((surf - surf[sel[i]]) ** 2).sum(1))
+    return sel
+
+
 def write_spline_h5(path: str, *, n_patches=32, n_points=700, grid=20,
                     seed=0, closed=False):
     """Synthetic spline-patch fixtures in the reference's schema."""
@@ -58,7 +77,7 @@ def write_spline_h5(path: str, *, n_patches=32, n_points=700, grid=20,
         surf = np.asarray(sample_from_control_grid(
             jnp.asarray(nu), jnp.asarray(nv),
             jnp.asarray(ctrl.reshape(1, grid * grid, 3)), grid, grid))[0]
-        sel = rng.choice(surf.shape[0], n_points, replace=True)
+        sel = _poisson_like_select(surf, n_points, rng)
         points.append(surf[sel] + 0.005 * rng.randn(n_points, 3))
         ctrls.append(ctrl)
     with h5py.File(path, "w") as hf:
