@@ -14,6 +14,7 @@ from sednet_tpu.data.datasets import (
     EdgeDataset,
     MixedDataset,
     BatchLoader,
+    PrefetchLoader,
 )
 from sednet_tpu.data.synthetic import (
     make_synthetic_shape,

@@ -213,3 +213,46 @@ class BatchLoader:
                 return
             items = [self.dataset[int(i)] for i in idx]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class PrefetchLoader:
+    """Background-thread prefetch around any batch iterable — the host-side
+    equivalent of the reference's DataLoader(num_workers=8,
+    persistent_workers=True) (reference: train_sed_net.py:185-187): batch
+    assembly (h5 reads, augmentation, PCA align) overlaps device compute.
+    Order-preserving; depth bounds host memory."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        END = object()
+        err: list = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # surface in the consumer thread
+                err.append(e)
+            finally:
+                q.put(END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -274,6 +274,7 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
           log_every: int = 10):
     """Full training driver. Returns (final TrainState, history list)."""
     from sednet_tpu.data import (BatchLoader, EdgeDataset, MixedDataset,
+                                 PrefetchLoader,
                                  ParseNetDataset)
 
     model_name = cfg.model_path.format("mix", cfg.lr, cfg.mode, cfg.knn)
@@ -330,7 +331,8 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
                               num_points=cfg.num_points,
                               max_segments=cfg.ms_max_clusters)
 
-    loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed)
+    loader = PrefetchLoader(
+        BatchLoader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed))
     test_loader = BatchLoader(test_ds, cfg.batch_size, shuffle=False,
                               seed=cfg.seed)
 

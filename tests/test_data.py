@@ -129,3 +129,38 @@ def test_edge_dataset_ret_edges1w(tmp_path):
     assert np.isfinite(item["edges1w"]).all()
     ds2 = EdgeDataset(root, train=True, ret_edges1w=False, num_points=64)
     assert "edges1w" not in ds2[0]
+
+
+def test_prefetch_loader_preserves_batches(tmp_path):
+    """PrefetchLoader yields the same batches in the same order as the
+    wrapped loader (reference analogue: DataLoader(num_workers=8),
+    train_sed_net.py:185-187)."""
+    from sednet_tpu.data import (BatchLoader, ParseNetDataset,
+                                 PrefetchLoader, write_parsenet_h5)
+
+    root = str(tmp_path)
+    write_parsenet_h5(root, n_shapes=6, n_points=64)
+    ds = ParseNetDataset(root, train=False, num_points=64)
+    a = list(BatchLoader(ds, 2, shuffle=False, drop_last=False))
+    b = list(PrefetchLoader(BatchLoader(ds, 2, shuffle=False,
+                                        drop_last=False)))
+    assert len(a) == len(b) == 3
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_prefetch_loader_propagates_errors():
+    from sednet_tpu.data import PrefetchLoader
+
+    def bad():
+        yield {"x": np.zeros(1)}
+        raise RuntimeError("boom")
+
+    class L:
+        def __iter__(self):
+            return bad()
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(L()))
