@@ -260,7 +260,9 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     n = p.shape[0]
     d_pad = _round_up(dim, 8)
     n_cols = _round_up(n, W)
-    rb = min(row_block, _round_up(m, 8))
+    # the row block is the LANE dim of the transposed q block -> must be a
+    # multiple of 128 (Mosaic BlockSpec constraint)
+    rb = max(_round_up(min(row_block, m), 128), 256)
     n_rows = _round_up(m, rb)
     q_t = jnp.pad(q.astype(jnp.float32).T,
                   ((0, d_pad - dim), (0, n_rows - m)))
