@@ -57,13 +57,19 @@ class DGCNNEncoder(nn.Module):
     normal_metric_w: float = 1.0
 
     @nn.compact
-    def __call__(self, x: jax.Array):
-        if self.mode == 5:
-            idx1 = knn_indices_points_normals(
-                x, self.k, normal_metric_w=self.normal_metric_w
-            )
-        else:
-            idx1 = knn_indices(x, self.k)
+    def __call__(self, x: jax.Array, idx1: jax.Array | None = None):
+        """idx1: optional precomputed first-layer kNN indices (B, N, k).
+        Uniform scalings and rotations of the input leave the first-layer
+        neighbour ordering unchanged (both reference metrics scale every
+        pairwise value by the same factor), so TTA votes reuse the base
+        forward's graph instead of rebuilding it."""
+        if idx1 is None:
+            if self.mode == 5:
+                idx1 = knn_indices_points_normals(
+                    x, self.k, normal_metric_w=self.normal_metric_w
+                )
+            else:
+                idx1 = knn_indices(x, self.k)
         x1 = EdgeConv(64, groups=2, k=self.k, name="conv1")(x, idx1)
 
         idx2 = knn_indices(x1, self.k)

@@ -55,13 +55,15 @@ class SEDNet(nn.Module):
     predict_normal: bool = False
 
     @nn.compact
-    def __call__(self, points: jax.Array) -> SEDNetOutput:
-        """points: (B, N, 3) or (B, N, 6) channels-last."""
+    def __call__(self, points: jax.Array,
+                 idx1: jax.Array | None = None) -> SEDNetOutput:
+        """points: (B, N, 3) or (B, N, 6) channels-last; idx1 optionally
+        reuses a precomputed first-layer kNN graph (see DGCNNEncoder)."""
         num_points = points.shape[1]
         global_feat, feats = DGCNNEncoder(
             mode=self.mode, k=self.k, normal_metric_w=self.normal_metric_w,
             name="encoder",
-        )(points)
+        )(points, idx1)
 
         x = jnp.concatenate(
             [jnp.broadcast_to(global_feat[:, None, :],

@@ -58,17 +58,30 @@ def make_forward(model):
 def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
                            fold5drop: bool, drop_num: int = 2000):
     """Returns a jitted fn(params_type, x (B,N,C)) -> (B,N,6) log-probs with
-    the requested TTA (reference: generate_predictions_aug.py:238-362)."""
+    the requested TTA (reference: generate_predictions_aug.py:238-362).
+
+    Scale and rotation votes REUSE the base forward's first-layer kNN graph:
+    both reference metrics scale uniformly under these transforms, so the
+    neighbour ordering is invariant and only the feature-space kNNs of the
+    deeper layers need rebuilding. Fold-drop votes operate on point subsets
+    and rebuild everything, like the reference."""
+    from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
+
     n = cfg.num_points
     folds = n // drop_num
 
-    def base(params, x):
-        return _forward(model, params, x)[0]
+    def first_layer_idx(x):
+        if x.shape[-1] >= 6:  # mode 5: xyz ++ normals metric
+            return knn_indices_points_normals(
+                x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
+        return knn_indices(x, cfg.knn)
+
+    def base(params, x, idx1=None):
+        return model.apply({"params": params}, x, idx1).type_log_prob
 
     def fold5(params, x):
         """x: (B, N, C) -> summed fold-drop votes (B, N, 6)."""
         b = x.shape[0]
-        keep = n - drop_num
         votes = jnp.zeros((b, n, 6), x.dtype)
         for i in range(folds):
             mask_idx = jnp.concatenate([
@@ -79,22 +92,26 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
         return votes
 
     def fn(params, x):
-        lp = base(params, x)
         if multi_vote and not fold5drop:
+            idx1 = first_layer_idx(x)
             big = jnp.concatenate([x[..., :3] * 1.15, x[..., 3:]], -1)
             small = jnp.concatenate([x[..., :3] * 0.85, x[..., 3:]], -1)
-            lp = (lp + base(params, big) + base(params, small)) / 3.0
+            lp = (base(params, x, idx1) + base(params, big, idx1)
+                  + base(params, small, idx1)) / 3.0
         elif fold5drop and not multi_vote:
-            lp = lp + fold5(params, x)
+            lp = base(params, x) + fold5(params, x)
         elif fold5drop and multi_vote:
+            idx1 = first_layer_idx(x)
             r = jnp.asarray(Y_FLIP)
             total = None
             for rot in (jnp.eye(3, dtype=x.dtype), r):
                 xr = jnp.concatenate(
                     [x[..., :3] @ rot, x[..., 3:] @ rot], -1)
-                cur = base(params, xr) + fold5(params, xr)
+                cur = base(params, xr, idx1) + fold5(params, xr)
                 total = cur if total is None else total + cur
             lp = total
+        else:
+            lp = base(params, x)
         return lp
 
     return jax.jit(fn)
