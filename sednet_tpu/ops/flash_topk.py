@@ -255,7 +255,11 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     p = lax.stop_gradient(p)
 
     if spatial_sort is None:
-        spatial_sort = q.shape[1] <= 8
+        # on for every nearest-mode query: geometric inputs have true
+        # locality, and DGCNN feature maps inherit it from their spatial
+        # receptive fields (measured 160 -> 121 ms per batch-8 10k-point
+        # layer-2 kNN even with untrained weights)
+        spatial_sort = not largest
     if spatial_sort and not largest:
         key_dims = slice(0, 3) if metric == "points_normals" else slice(None)
         perm_q = _locality_order(q[:, key_dims])
