@@ -148,12 +148,15 @@ def _blocked_colmax(rows: jax.Array, cols: jax.Array, col_score,
     return best, idx
 
 
+@jax.jit
 def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
     """Fixed-shape non-max suppression (reference: src/mean_shift.py:139-179).
 
     Returns (labels (N,) compact ids, center_mask (N,), num_clusters).
     All three all-pairs steps stream column blocks — at N=10k the dense
-    form writes three 400 MB matrices to HBM; this form writes none."""
+    form writes three 400 MB matrices to HBM; this form writes none.
+    Jitted: the blocked fori loops must never dispatch eagerly (hundreds of
+    tiny ops through the device relay)."""
     n = x.shape[0]
     # nearest shifted center for every point: argmin dist == argmax dot on
     # the unit sphere == first-index argmax (ties included)
