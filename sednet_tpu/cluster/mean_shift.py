@@ -58,9 +58,9 @@ def compute_bandwidth(key: jax.Array, x: jax.Array, num_samples: int,
     # torch.topk(k, largest=False)[0][:, -1] is the k-th smallest (self
     # distance 0 included), i.e. sorted index k-1 (mean_shift.py:132-135).
     # Only the k-th column is needed, so a capped partial top-k replaces
-    # the full (m, m) row sort (k = quantile*m = 75 at the defaults; the
-    # cap only binds after ~14 guarded quantile retries).
-    k_cap = min(1024, m)
+    # the full (m, m) row sort (k = quantile*m = 75 at the defaults; 256
+    # covers six guarded x1.2 quantile retries before the cap binds).
+    k_cap = min(256, m)
     neg, _ = lax.top_k(-dist, k_cap)  # column j = -(j+1)-th smallest
     k = jnp.clip((quantile * m).astype(jnp.int32), 1, min(m - 1, k_cap))
     kth = -jnp.take_along_axis(neg, jnp.full((m, 1), k - 1), axis=1)[:, 0]
