@@ -1,0 +1,91 @@
+"""Microbench kernels on the real TPU, amortizing the axon-relay dispatch
+latency (~20 ms/call round-trip) by looping each kernel inside ONE jitted
+fori_loop and differencing two trip counts: per-step = (t_hi - t_lo)/(hi-lo).
+Scalar outputs only. Usage: PYTHONPATH includes the repo root."""
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def timeit(fn, reps=6):
+    np.asarray(fn())  # compile; under the axon relay block_until_ready is
+    ts = []           # a no-op — only a host transfer synchronizes
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def per_step_ms(make_looped, lo=4, hi=24):
+    f_lo, f_hi = make_looped(lo), make_looped(hi)
+    return (timeit(f_hi) - timeit(f_lo)) / (hi - lo) * 1e3
+
+
+def cad_cloud(rng, n):
+    t = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    pts = np.stack([t[:, 0], t[:, 1],
+                    0.3 * np.sin(3 * t[:, 0]) * np.cos(2 * t[:, 1])], 1)
+    return (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--what", default="all")
+    args = p.parse_args()
+
+    from sednet_tpu.ops.flash_topk import topk_pallas
+    from sednet_tpu.cluster.mean_shift import mean_shift_iterate
+
+    rng = np.random.default_rng(0)
+    print("devices:", jax.devices())
+    n = 10000
+
+    if args.what in ("all", "topk"):
+        x = jnp.asarray(cad_cloud(rng, n))
+        emb = rng.normal(0, 1, (n, 128)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        e = jnp.asarray(emb)
+
+        for name, arr, kw in [
+            ("xyz k=64", x, {}),
+            ("emb128 k=64", e, {}),
+            ("emb128 k=50 largest", e, dict(largest=True)),
+        ]:
+            def make(iters, arr=arr, kw=kw):
+                @jax.jit
+                def f():
+                    def body(i, s):
+                        q = arr * (1.0 + 1e-6 * i)  # defeat CSE
+                        idx = topk_pallas(q, q, kw.pop("k", 64) if False
+                                          else 64, **kw)
+                        return s + idx[0, 0]
+                    return lax.fori_loop(0, iters, body, jnp.int32(0))
+                return f
+            print(f"topk {name:22s} {per_step_ms(make):8.2f} ms/call")
+
+    if args.what in ("all", "ms"):
+        emb = rng.normal(0, 1, (n, 128)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        e = jnp.asarray(emb)
+        bw = jnp.float32(0.05)
+
+        for backend in ("pallas", "xla"):
+            def make(iters, backend=backend):
+                @jax.jit
+                def f():
+                    o = mean_shift_iterate(e, bw, iterations=iters,
+                                           backend=backend)
+                    return jnp.sum(o[0])
+                return f
+            print(f"mean_shift step [{backend:6s}]     "
+                  f"{per_step_ms(make):8.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()
