@@ -42,28 +42,58 @@ def _dotT(a, b):
                            preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "method", "interpret"))
 def compute_bandwidth(key: jax.Array, x: jax.Array, num_samples: int,
-                      quantile: jax.Array) -> jax.Array:
+                      quantile: jax.Array, method: str = "auto",
+                      interpret: bool = False) -> jax.Array:
     """Mean sqrt of the (quantile*num_samples)-th smallest pairwise distance
     over a random subsample (reference: src/mean_shift.py:115-137).
 
     `quantile` may be traced (the retry loop scales it); the neighbour count
-    is handled by masking a sorted row rather than a dynamic top-k."""
+    is handled by indexing an exact partial-top-k row rather than a dynamic
+    top-k. On TPU the fused Pallas kernel supplies the smallest-128
+    distances per row without the XLA sort's HBM round-trips (measured
+    19 ms -> ~7 ms at m=5000 on a v5e — more than the 50 shift iterations
+    cost); k = quantile*m = 75 at the defaults, so 128 lanes cover three
+    guarded x1.2 quantile retries, and a lax.cond falls back to the dense
+    256-capped XLA path for larger traced k (both caps are documented
+    deviations that only bind after repeated retries)."""
     n = x.shape[0]
     m = min(num_samples, n)
     sel = jax.random.permutation(key, n)[:m]
     xs = x[sel]
-    dist = 2.0 - 2.0 * _dotT(xs, xs)  # (m, m)
+    if method == "auto":
+        from sednet_tpu.ops.flash_topk import pallas_topk_supported
+
+        method = ("pallas" if jax.default_backend() == "tpu"
+                  and pallas_topk_supported(m, x.shape[1], 128) else "xla")
     # torch.topk(k, largest=False)[0][:, -1] is the k-th smallest (self
     # distance 0 included), i.e. sorted index k-1 (mean_shift.py:132-135).
-    # Only the k-th column is needed, so a capped partial top-k replaces
-    # the full (m, m) row sort (k = quantile*m = 75 at the defaults; 256
-    # covers six guarded x1.2 quantile retries before the cap binds).
     k_cap = min(256, m)
-    neg, _ = lax.top_k(-dist, k_cap)  # column j = -(j+1)-th smallest
     k = jnp.clip((quantile * m).astype(jnp.int32), 1, min(m - 1, k_cap))
-    kth = -jnp.take_along_axis(neg, jnp.full((m, 1), k - 1), axis=1)[:, 0]
+
+    def dense_kth(_):
+        dist = 2.0 - 2.0 * _dotT(xs, xs)  # (m, m)
+        neg, _ = lax.top_k(-dist, k_cap)  # column j = -(j+1)-th smallest
+        kk = jnp.minimum(k, k_cap)
+        return -jnp.take_along_axis(neg, jnp.full((m, 1), kk - 1),
+                                    axis=1)[:, 0]
+
+    if method == "pallas":
+        from sednet_tpu.ops.flash_topk import topk_pallas
+
+        kp = min(128, m - 1)
+
+        def pallas_kth(_):
+            _, dd = topk_pallas(xs, xs, kp, return_distances=True,
+                                interpret=interpret)  # (m, kp) ascending
+            return jnp.take_along_axis(dd, jnp.full((m, 1), k - 1),
+                                       axis=1)[:, 0]
+
+        kth = lax.cond(k <= kp, pallas_kth, dense_kth, None)
+    else:
+        kth = dense_kth(None)
     return jnp.mean(guard_sqrt(kth, 1e-6))
 
 
@@ -204,8 +234,13 @@ def mean_shift(key, x, *, num_samples=10000, quantile=0.015, iterations=50,
 @functools.partial(
     jax.jit, static_argnames=("num_samples", "iterations"))
 def _batched_shift(keys, x, quantile, num_samples: int, iterations: int):
-    bw = jax.vmap(lambda k, xx: jnp.clip(
-        compute_bandwidth(k, xx, num_samples, quantile), min=0.003))(keys, x)
+    # unrolled, not vmapped: under vmap the bandwidth path's lax.cond
+    # degrades to a both-branches select and the Pallas top-k falls back to
+    # its (slower) batching rule; the unrolled calls share one compiled
+    # kernel and pipeline fully
+    bw = jnp.stack([jnp.clip(
+        compute_bandwidth(keys[i], x[i], num_samples, quantile), min=0.003)
+        for i in range(x.shape[0])])
     from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas_batched
 
     def body(_, new_x):

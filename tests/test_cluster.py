@@ -58,6 +58,20 @@ def test_bandwidth_positive_and_scales(rng):
     assert 0 < b1 < b2
 
 
+@pytest.mark.parametrize("quantile", [0.05, 0.8])
+def test_bandwidth_pallas_matches_xla(rng, quantile):
+    """The TPU bandwidth path (Pallas partial top-k + big-k lax.cond
+    fallback) must agree with the dense XLA path; quantile=0.8 drives the
+    traced k past the 128-lane cap, exercising the fallback branch."""
+    x, _ = _sphere_clusters(rng, 3, 80, noise=0.03)
+    key = jax.random.PRNGKey(1)
+    b_xla = float(compute_bandwidth(key, x, 240, jnp.float32(quantile),
+                                    method="xla"))
+    b_pal = float(compute_bandwidth(key, x, 240, jnp.float32(quantile),
+                                    method="pallas", interpret=True))
+    assert b_pal == pytest.approx(b_xla, rel=2e-5)
+
+
 def test_guard_mean_shift_caps_clusters(rng):
     # scatter points uniformly -> tiny bandwidth would give many clusters
     x = rng.randn(300, 8).astype(np.float32)
