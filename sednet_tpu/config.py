@@ -79,6 +79,10 @@ class Config:
     spectral_knn: int = 50
     spectral_eigvecs: int = 12
     spectral_matfree: bool = False  # matrix-free LOBPCG (no NxN affinity)
+    fused_encoder: bool = False  # index-free fused edge-conv inference
+    # encoder (ops.fused_edgeconv): no kNN index/gather materialization;
+    # exact on CPU, ~7e-3 rad embedding drift on TPU (bf16 matmul fp-order
+    # flips deep-layer neighbour sets) -- type argmax unchanged.
 
     # runtime
     gpu: str = ""                # kept for config-file compat; unused on TPU

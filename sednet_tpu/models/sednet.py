@@ -56,14 +56,23 @@ class SEDNet(nn.Module):
 
     @nn.compact
     def __call__(self, points: jax.Array,
-                 idx1: jax.Array | None = None) -> SEDNetOutput:
+                 idx1: jax.Array | None = None,
+                 encoder_out: tuple[jax.Array, jax.Array] | None = None,
+                 ) -> SEDNetOutput:
         """points: (B, N, 3) or (B, N, 6) channels-last; idx1 optionally
-        reuses a precomputed first-layer kNN graph (see DGCNNEncoder)."""
+        reuses a precomputed first-layer kNN graph (see DGCNNEncoder);
+        encoder_out optionally injects precomputed (global_feat, feats) —
+        the index-free fused inference encoder
+        (ops.fused_edgeconv.encoder_apply_fused) enters here via
+        apply_fused below."""
         num_points = points.shape[1]
-        global_feat, feats = DGCNNEncoder(
-            mode=self.mode, k=self.k, normal_metric_w=self.normal_metric_w,
-            name="encoder",
-        )(points, idx1)
+        if encoder_out is not None:
+            global_feat, feats = encoder_out
+        else:
+            global_feat, feats = DGCNNEncoder(
+                mode=self.mode, k=self.k,
+                normal_metric_w=self.normal_metric_w, name="encoder",
+            )(points, idx1)
 
         x = jnp.concatenate(
             [jnp.broadcast_to(global_feat[:, None, :],
@@ -120,3 +129,22 @@ class SEDNet(nn.Module):
             edge_logits=edge_logits,
             normals_pred=normals_pred,
         )
+
+
+def apply_fused(model: SEDNet, variables, points: jax.Array, *,
+                interpret: bool | None = None) -> SEDNetOutput:
+    """Inference forward through the index-free fused encoder.
+
+    Runs ops.fused_edgeconv.encoder_apply_fused (no kNN index
+    materialization, no (B, N, K, C) gather) on the SAME trained parameter
+    tree, then the flax heads. Inference-only: the encoder output carries
+    no gradients. Matches model.apply(variables, points) to float
+    tolerance (ties at the k-th neighbour distance aside)."""
+    from sednet_tpu.ops.fused_edgeconv import encoder_apply_fused
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    enc = encoder_apply_fused(
+        variables["params"]["encoder"], points, mode=model.mode, k=model.k,
+        normal_metric_w=model.normal_metric_w, interpret=interpret)
+    return model.apply(variables, points, encoder_out=enc)

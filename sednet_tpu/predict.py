@@ -46,13 +46,19 @@ logger = logging.getLogger("sednet_tpu.predict")
 Y_FLIP = np.diag([-1.0, 1.0, -1.0]).astype(np.float32)
 
 
-def _forward(model, params, x):
-    out = model.apply({"params": params}, x)
+def _forward(model, params, x, fused=False):
+    if fused:
+        from sednet_tpu.models.sednet import apply_fused
+        out = apply_fused(model, {"params": params}, x)
+    else:
+        out = model.apply({"params": params}, x)
     return out.type_log_prob, out.embedding, out.edge_logits
 
 
-def make_forward(model):
-    return jax.jit(functools.partial(_forward, model))
+def make_forward(model, fused: bool = False):
+    """fused=True routes the encoder through the index-free fused edge-conv
+    kernel (config.fused_encoder) — inference-only fast path."""
+    return jax.jit(functools.partial(_forward, model, fused=fused))
 
 
 def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
@@ -217,7 +223,7 @@ def predict_shapes(
     if tta_fn is None:
         tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
     if forward_fn is None:
-        forward_fn = make_forward(model)
+        forward_fn = make_forward(model, fused=cfg.fused_encoder)
     type_lp = tta_fn(params_type, x)                      # (B, N, 6)
     _, embedding, edge_logits = forward_fn(params_inst, x)
 
@@ -389,7 +395,7 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
     cache = SpectralCache(os.path.join(out_dir, "normal_smooth_cache"),
                           cfg.spectral_sigma, cfg.spectral_knn)
     tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
-    forward_fn = make_forward(model)
+    forward_fn = make_forward(model, fused=cfg.fused_encoder)
 
     key = jax.random.PRNGKey(cfg.seed)
     all_metrics = []
