@@ -117,10 +117,11 @@ def main():
         def full_pipeline():
             labels, types = pipeline(variables, x, jax.random.PRNGKey(3))
             labels, types = np.asarray(labels), np.asarray(types)
-            for i, s in enumerate(shapes):
-                ev.residual_eval_mode(s["points"], s["normals"],
-                                      s["labels"].astype(np.int64),
-                                      labels[i], types[i])
+            ev.residual_eval_batch([
+                {"points": s["points"], "normals": s["normals"],
+                 "labels": s["labels"].astype(np.int64),
+                 "cluster_ids": labels[i], "pred_primitives": types[i]}
+                for i, s in enumerate(shapes)])
             return labels
 
         full_pipeline()

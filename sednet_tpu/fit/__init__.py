@@ -12,6 +12,7 @@ from sednet_tpu.fit.residuals import (
     distance_from_cone,
     distance_from_torus,
     residual_loss,
+    residual_loss_batched,
 )
 from sednet_tpu.fit.bspline import (
     uniform_knot_bspline,

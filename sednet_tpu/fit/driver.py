@@ -223,7 +223,8 @@ def _batched_geometric_fits(geo, fitter: FittingModule):
     weight-multiplied terms) and the segment axis is padded to a multiple of
     8, so the program retraces per bucket, never per segment size
     (reference per-segment loop: src/primitive_forward.py:929-1051)."""
-    from sednet_tpu.fit.primitives import _fit_bucket, fit_all_types_batched
+    from sednet_tpu.fit.primitives import (_fit_bucket, fit_all_types_packed,
+                                           unpack_fit_params)
 
     p_max = _fit_bucket(max(p.shape[0] for _, _, p, _, _ in geo))
     s_pad = _round_up8(len(geo))
@@ -233,11 +234,11 @@ def _batched_geometric_fits(geo, fitter: FittingModule):
     for i, (_, _, p, n, ww) in enumerate(geo):
         m = p.shape[0]
         pts[i, :m], nrm[i, :m], w[i, :m] = p, n, ww
-    out = fit_all_types_batched(jnp.asarray(pts), jnp.asarray(nrm),
-                                jnp.asarray(w))
+    packed = np.asarray(fit_all_types_packed(        # ONE host transfer
+        jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(w)))
     for i, (sid, label, _, _, _) in enumerate(geo):
         name = GEOMETRIC_LABELS[label]
-        fitter.parameters[sid] = [name] + [v[i] for v in out[name]]
+        fitter.parameters[sid] = [name] + unpack_fit_params(packed[i], name)
 
 
 def _round_up8(x: int) -> int:

@@ -27,7 +27,8 @@ from sednet_tpu.fit.driver import FittingModule, fit_one_shape
 from sednet_tpu.fit.residuals import (distance_from_cone,
                                       distance_from_cylinder,
                                       distance_from_plane,
-                                      distance_from_sphere, residual_loss)
+                                      distance_from_sphere, residual_loss,
+                                      residual_loss_batched)
 from sednet_tpu.metrics import hungarian_match, relaxed_iou_fast, to_one_hot
 from sednet_tpu.ops.chamfer import nn_distance
 from sednet_tpu.ops.guard import guard_exp
@@ -148,12 +149,66 @@ class Evaluation:
                 "points": points[pred_i], "normals": normals[pred_i],
                 "weights": np.ones(int(pred_i.sum()), np.float32),
             })
-            gt_points[int(i)] = jnp.asarray(points[gt_i], jnp.float32)
+            gt_points[int(i)] = np.asarray(points[gt_i], np.float32)
         parameters, _ = fit_one_shape(segments, self.fitter, eval_mode=True,
                                       if_optimize=if_optimize)
-        distance = residual_loss(gt_points, parameters, sqrt=True)
+        distance = residual_loss_batched(gt_points, parameters, sqrt=True)
         loss = separate_losses(distance, gt_points, lamb=lamb)
         return loss, parameters, distance
+
+    def residual_eval_batch(self, items, *, if_optimize=False, lamb=1.0):
+        """residual_eval_mode over MANY shapes with shared device calls.
+
+        items: list of dicts with keys points, normals, labels, cluster_ids,
+        pred_primitives (each per-shape, like residual_eval_mode's args).
+        One batched relaxed-IoU call matches every shape, then all shapes'
+        segments ride the SAME packed fit + residual calls — the
+        through-the-relay transfer count is per batch, not per shape.
+        Returns a list of (loss, parameters, distance) tuples."""
+        if not items:
+            return []
+        pred_oh = np.stack([to_one_hot(np.asarray(it["cluster_ids"]))
+                            for it in items])
+        gt_oh = np.stack([to_one_hot(np.asarray(it["labels"]))
+                          for it in items])
+        costs = 1.0 - np.asarray(relaxed_iou_fast(jnp.asarray(pred_oh),
+                                                  jnp.asarray(gt_oh)))
+        segments, gt_points = [], {}
+        for si, it in enumerate(items):
+            labels = np.asarray(it["labels"])
+            cluster_ids = np.asarray(it["cluster_ids"])
+            pred_primitives = np.asarray(it["pred_primitives"])
+            points = np.asarray(it["points"], np.float32)
+            normals = np.asarray(it["normals"], np.float32)
+            rows, cols = hungarian_match(costs[si])
+            col_of = dict(zip(rows, cols))
+            for i in np.sort(np.unique(cluster_ids)):
+                c = col_of.get(i)
+                if c is None:
+                    continue
+                gt_i = labels == c
+                pred_i = cluster_ids == i
+                if gt_i.sum() == 0 or pred_i.sum() == 0:
+                    continue
+                vals, counts = np.unique(pred_primitives[pred_i],
+                                         return_counts=True)
+                segments.append({
+                    "id": (si, int(i)),
+                    "label": int(vals[np.argmax(counts)]),
+                    "points": points[pred_i], "normals": normals[pred_i],
+                    "weights": np.ones(int(pred_i.sum()), np.float32),
+                })
+                gt_points[(si, int(i))] = points[gt_i]
+        parameters, _ = fit_one_shape(segments, self.fitter, eval_mode=True,
+                                      if_optimize=if_optimize)
+        distance = residual_loss_batched(gt_points, parameters, sqrt=True)
+        out = []
+        for si in range(len(items)):
+            gp = {k[1]: v for k, v in gt_points.items() if k[0] == si}
+            par = {k[1]: v for k, v in parameters.items() if k[0] == si}
+            dist = {k[1]: v for k, v in distance.items() if k[0] == si}
+            out.append((separate_losses(dist, gp, lamb=lamb), par, dist))
+        return out
 
     def residual_train_mode(self, points, normals, labels, cluster_ids,
                             primitives, weights, bw, *, lamb=1.0):
@@ -181,8 +236,8 @@ class Evaluation:
                 "points": points[sub], "normals": normals[sub],
                 "weights": np.asarray(w[sub, i]),
             })
-            gt_points[int(i)] = jnp.asarray(points[gt_i], jnp.float32)
+            gt_points[int(i)] = np.asarray(points[gt_i], np.float32)
         parameters, _ = fit_one_shape(segments, self.fitter, eval_mode=False)
-        distance = residual_loss(gt_points, parameters)
+        distance = residual_loss_batched(gt_points, parameters)
         loss = separate_losses(distance, gt_points, lamb=lamb)
         return loss, parameters, distance

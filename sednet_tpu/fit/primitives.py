@@ -132,6 +132,39 @@ def fit_all_types_batched(points: jax.Array, normals: jax.Array,
     return jax.vmap(one)(points, normals, weights)
 
 
+@jax.jit
+def fit_all_types_packed(points: jax.Array, normals: jax.Array,
+                         weights: jax.Array) -> jax.Array:
+    """fit_all_types_batched with the results packed into ONE (S, 22)
+    array — a single device->host transfer fetches every fit of the shape
+    (the per-array fetch was ~30 ms/array through the axon relay).
+    Layout: plane n[0:3] d[3] | sphere c[4:7] r[7] | cylinder a[8:11]
+    c[11:14] r[14] | cone apex[15:18] axis[18:21] theta[21]."""
+    out = fit_all_types_batched(points, normals, weights)
+    pn, pd = out["plane"]
+    sc, sr = out["sphere"]
+    ca, cc, cr = out["cylinder"]
+    ka, kx, kt = out["cone"]
+    return jnp.concatenate([
+        pn, pd[:, None], sc, sr[:, None], ca, cc, cr[:, None],
+        ka, kx, kt[:, None]], axis=1)
+
+
+def unpack_fit_params(row: "np.ndarray", name: str):
+    """Host-side unpack of one fit_all_types_packed row into the
+    parameter-list tail for `name` (same contract as fit_all_types_batched
+    entries)."""
+    if name == "plane":
+        return [row[0:3], row[3]]
+    if name == "sphere":
+        return [row[4:7], row[7]]
+    if name == "cylinder":
+        return [row[8:11], row[11:14], row[14]]
+    if name == "cone":
+        return [row[15:18], row[18:21], row[21]]
+    raise KeyError(name)
+
+
 @functools.lru_cache(maxsize=None)
 def _fit_bucket(p: int) -> int:
     """Pad segment point counts to a few fixed buckets so the batched fit

@@ -83,3 +83,73 @@ def test_residual_train_mode_on_synthetic(rng):
         weights, bw=0.1)
     total, geom, spline = loss
     assert geom is not None and np.isfinite(geom)
+
+
+def test_residual_loss_batched_matches_scalar(rng):
+    """The padded batched residual path must reproduce residual_loss for
+    every primitive family at mixed segment sizes (and sqrt mode)."""
+    from sednet_tpu.fit.residuals import residual_loss_batched
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    params = {
+        0: ("plane", unit(rng.randn(3)).astype(np.float32),
+            np.float32(0.3)),
+        1: ("sphere", rng.randn(3).astype(np.float32), np.float32(0.8)),
+        2: ("cylinder", unit(rng.randn(3)).astype(np.float32),
+            rng.randn(3).astype(np.float32), np.float32(0.5)),
+        3: ("cone", rng.randn(3).astype(np.float32),
+            unit(rng.randn(3)).astype(np.float32), np.float32(0.4)),
+        4: ("torus", rng.randn(3).astype(np.float32),
+            rng.randn(3).astype(np.float32), np.float32(0.9),
+            np.float32(0.2)),
+        5: ("open-spline",
+            rng.randn(400, 3).astype(np.float32)),
+        6: None,  # degenerate segment must be skipped by both
+    }
+    pts = {k: rng.randn(50 + 37 * k, 3).astype(np.float32)
+           for k in params}
+    for sqrt in (False, True):
+        ref = residual_loss(pts, params, sqrt=sqrt)
+        got = residual_loss_batched(pts, params, sqrt=sqrt)
+        assert set(ref) == set(got)
+        for k in ref:
+            assert ref[k][0] == got[k][0]
+            np.testing.assert_allclose(float(got[k][1]), float(ref[k][1]),
+                                       rtol=2e-4, atol=1e-6)
+
+
+def test_residual_eval_batch_matches_per_shape(rng):
+    """residual_eval_batch must reproduce residual_eval_mode shape by
+    shape (same matches, fits, residuals — only the device-call batching
+    differs)."""
+    from sednet_tpu.data import make_synthetic_shape
+    from sednet_tpu.fit import Evaluation, FittingModule
+
+    ev = Evaluation(FittingModule())
+    items = []
+    for i in range(2):
+        d = make_synthetic_shape(np.random.RandomState(10 + i),
+                                 n_points=600, n_segments=4)
+        items.append({
+            "points": d["points"].astype(np.float32),
+            "normals": d["normals"].astype(np.float32),
+            "labels": d["labels"].astype(np.int64),
+            "cluster_ids": d["labels"].astype(np.int64),
+            "pred_primitives": d["prim"].astype(np.int64),
+        })
+    batch = ev.residual_eval_batch(items)
+    assert len(batch) == 2
+    for it, (loss_b, par_b, dist_b) in zip(items, batch):
+        loss_s, par_s, dist_s = ev.residual_eval_mode(
+            it["points"], it["normals"], it["labels"], it["cluster_ids"],
+            it["pred_primitives"])
+        assert set(dist_b) == set(dist_s)
+        for k in dist_s:
+            assert dist_b[k][0] == dist_s[k][0]
+            np.testing.assert_allclose(float(dist_b[k][1]),
+                                       float(dist_s[k][1]),
+                                       rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(loss_b[0], loss_s[0], rtol=2e-4,
+                                   atol=1e-6)
