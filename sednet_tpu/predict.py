@@ -46,18 +46,21 @@ logger = logging.getLogger("sednet_tpu.predict")
 Y_FLIP = np.diag([-1.0, 1.0, -1.0]).astype(np.float32)
 
 
-def _forward(model, params, x, fused=False):
+def _forward(model, params, x, idx1=None, fused=False):
     if fused:
         from sednet_tpu.models.sednet import apply_fused
-        out = apply_fused(model, {"params": params}, x)
+        out = apply_fused(model, {"params": params}, x)  # index-free
     else:
-        out = model.apply({"params": params}, x)
+        out = model.apply({"params": params}, x, idx1)
     return out.type_log_prob, out.embedding, out.edge_logits
 
 
 def make_forward(model, fused: bool = False):
     """fused=True routes the encoder through the index-free fused edge-conv
-    kernel (config.fused_encoder) — inference-only fast path."""
+    kernel (config.fused_encoder) — inference-only fast path. The returned
+    fn takes an optional precomputed first-layer kNN graph: the layer-1
+    metric depends only on the geometry, so the type- and inst-model
+    forwards of the predict pipeline share ONE graph build."""
     return jax.jit(functools.partial(_forward, model, fused=fused))
 
 
@@ -97,17 +100,17 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
             votes = votes.at[:, mask_idx].add(lp)
         return votes
 
-    def fn(params, x):
+    def fn(params, x, idx1=None):
         if multi_vote and not fold5drop:
-            idx1 = first_layer_idx(x)
+            idx1 = first_layer_idx(x) if idx1 is None else idx1
             big = jnp.concatenate([x[..., :3] * 1.15, x[..., 3:]], -1)
             small = jnp.concatenate([x[..., :3] * 0.85, x[..., 3:]], -1)
             lp = (base(params, x, idx1) + base(params, big, idx1)
                   + base(params, small, idx1)) / 3.0
         elif fold5drop and not multi_vote:
-            lp = base(params, x) + fold5(params, x)
+            lp = base(params, x, idx1) + fold5(params, x)
         elif fold5drop and multi_vote:
-            idx1 = first_layer_idx(x)
+            idx1 = first_layer_idx(x) if idx1 is None else idx1
             r = jnp.asarray(Y_FLIP)
             total = None
             for rot in (jnp.eye(3, dtype=x.dtype), r):
@@ -117,7 +120,7 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
                 total = cur if total is None else total + cur
             lp = total
         else:
-            lp = base(params, x)
+            lp = base(params, x, idx1)
         return lp
 
     return jax.jit(fn)
@@ -224,8 +227,18 @@ def predict_shapes(
         tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
     if forward_fn is None:
         forward_fn = make_forward(model, fused=cfg.fused_encoder)
-    type_lp = tta_fn(params_type, x)                      # (B, N, 6)
-    _, embedding, edge_logits = forward_fn(params_inst, x)
+    idx1 = None
+    if not cfg.fused_encoder:
+        # ONE first-layer graph serves the type-model TTA votes AND the
+        # inst-model forward: the layer-1 kNN metric sees only geometry
+        from sednet_tpu.ops.knn import (knn_indices,
+                                        knn_indices_points_normals)
+
+        idx1 = (knn_indices_points_normals(
+                    x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
+                if x.shape[-1] >= 6 else knn_indices(x, cfg.knn))
+    type_lp = tta_fn(params_type, x, idx1)                # (B, N, 6)
+    _, embedding, edge_logits = forward_fn(params_inst, x, idx1)
 
     b = x.shape[0]
     sharded_labels = None
