@@ -5,3 +5,7 @@ from sednet_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
 )
+from sednet_tpu.parallel.intra_shape import (
+    ring_knn,
+    mean_shift_iterate_sharded,
+)
