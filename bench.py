@@ -83,6 +83,13 @@ def main():
         return emb, out.type_log_prob, out.edge_logits
 
     @jax.jit
+    def forward_idx1(v, xx, idx1):
+        out = model.apply(v, xx, idx1)
+        emb = out.embedding / jnp.clip(
+            jnp.linalg.norm(out.embedding, axis=-1, keepdims=True), min=1e-12)
+        return emb, out.type_log_prob, out.edge_logits
+
+    @jax.jit
     def cluster_one(e, k):
         return guard_mean_shift(k, e, num_samples=5000, quantile=0.015,
                                 iterations=50).labels
@@ -137,9 +144,17 @@ def main():
 
         tta = make_tta_type_log_prob(model, cfg, True, False)
 
+        from sednet_tpu.ops.knn import knn_indices_points_normals
+
+        idx1_fn = jax.jit(lambda xx: knn_indices_points_normals(
+            xx, cfg.knn, normal_metric_w=cfg.normal_metric_W))
+
         def tta_pipeline(key):
-            lp = tta(variables["params"], x)
-            emb, _, _ = forward(variables, x)
+            # one first-layer graph serves all TTA votes AND the inst
+            # forward, like predict_shapes
+            idx1 = idx1_fn(x)
+            lp = tta(variables["params"], x, idx1)
+            emb, _, _ = forward_idx1(variables, x, idx1)
             labels, _ = cluster_batch(key, emb, num_samples=5000,
                                       quantile=0.015, iterations=50)
             return labels
