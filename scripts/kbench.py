@@ -52,18 +52,17 @@ def main():
         emb /= np.linalg.norm(emb, axis=1, keepdims=True)
         e = jnp.asarray(emb)
 
-        for name, arr, kw in [
-            ("xyz k=64", x, {}),
-            ("emb128 k=64", e, {}),
-            ("emb128 k=50 largest", e, dict(largest=True)),
+        for name, arr, k_, kw in [
+            ("xyz k=64", x, 64, {}),
+            ("emb128 k=64", e, 64, {}),
+            ("emb128 k=50 largest", e, 50, dict(largest=True)),
         ]:
-            def make(iters, arr=arr, kw=kw):
+            def make(iters, arr=arr, k_=k_, kw=kw):
                 @jax.jit
                 def f():
                     def body(i, s):
                         q = arr * (1.0 + 1e-6 * i)  # defeat CSE
-                        idx = topk_pallas(q, q, kw.pop("k", 64) if False
-                                          else 64, **kw)
+                        idx = topk_pallas(q, q, k_, **kw)
                         return s + idx[0, 0]
                     return lax.fori_loop(0, iters, body, jnp.int32(0))
                 return f

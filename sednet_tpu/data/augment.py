@@ -32,26 +32,45 @@ class Augmentor:
         c, s = np.cos(t), np.sin(t)
         return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
 
-    def __call__(self, points: np.ndarray, normals: np.ndarray | None = None):
-        """points: (N, 3); normals: optional (N, 3). Returns augmented copies."""
+    def __call__(self, points: np.ndarray, normals: np.ndarray | None = None,
+                 extra_positions: np.ndarray | None = None):
+        """points: (N, 3); normals: optional (N, 3). extra_positions is a
+        second position-like cloud (the edges1w channel) that rides the SAME
+        random draws — rotated, shifted and scaled exactly like points, the
+        way the reference appends it to MyAugment's position list
+        (reference: src/dataset_segments_my.py:445-453). Returns augmented
+        copies (extra only when given)."""
         points = points.copy()
         normals = None if normals is None else normals.copy()
+        extra = None if extra_positions is None else extra_positions.copy()
         if self.rng.random_sample() > 0.5:
             r = self._small_rotation()
             points = points @ r  # reference right-multiplies (augment_utils.py:84)
             if normals is not None:
                 normals = normals @ r
+            if extra is not None:
+                extra = extra @ r
         if self.rng.random_sample() > 0.8:
             r = self._y_rotation()
             points = points @ r
             if normals is not None:
                 normals = normals @ r
+            if extra is not None:
+                extra = extra @ r
         if self.rng.random_sample() > 0.5:
-            points = points + self.rng.uniform(-0.05, 0.05, (3,))
+            shift = self.rng.uniform(-0.05, 0.05, (3,))
+            points = points + shift
+            if extra is not None:
+                extra = extra + shift
         if self.rng.random_sample() > 0.5:
-            points = points * self.rng.uniform(0.8, 1.2)
-        return points.astype(np.float32), (
-            None if normals is None else normals.astype(np.float32))
+            scale = self.rng.uniform(0.8, 1.2)
+            points = points * scale
+            if extra is not None:
+                extra = extra * scale
+        out_n = None if normals is None else normals.astype(np.float32)
+        if extra_positions is None:
+            return points.astype(np.float32), out_n
+        return points.astype(np.float32), out_n, extra.astype(np.float32)
 
 
 def gaussian_noise(points: np.ndarray, level: int,

@@ -71,7 +71,9 @@ class _H5Dataset:
     def __getitem__(self, index: int) -> dict:
         pts = self.points[index].copy()
         nrm = None if self.normals is None else self.normals[index].copy()
-        if self.use_native:
+        e1w = (None if self.edges1w is None
+               else self.edges1w[index].copy())
+        if self.use_native and e1w is None:
             # fused C++ path: normalize + augment + PCA align
             from sednet_tpu.data import native
 
@@ -84,10 +86,20 @@ class _H5Dataset:
         else:
             extent = pts.max(0) - pts.min(0)
             pts = pts / (extent.max() + EPS)
+            if e1w is not None:
+                # the edge cloud rides the SAME frame as the points: extent
+                # scale, augmentation draws and PCA rotation (reference:
+                # src/dataset_segments_my.py:430-462)
+                e1w = e1w / (extent.max() + EPS)
 
             if self.augment:
-                pts, nrm = self.augmentor(pts, nrm)
-            pts, nrm, _ = pca_align(pts, nrm)
+                if e1w is not None:
+                    pts, nrm, e1w = self.augmentor(pts, nrm, e1w)
+                else:
+                    pts, nrm = self.augmentor(pts, nrm)
+            pts, nrm, r = pca_align(pts, nrm)
+            if e1w is not None:
+                e1w = (e1w @ r.T).astype(np.float32)
 
         if self.noise:
             if self.noise_level == -1:
@@ -114,10 +126,10 @@ class _H5Dataset:
         elif self.train:
             sel = self.rng.permutation(n)
             item = {k: v[sel] for k, v in item.items()}
-        if self.edges1w is not None:
+        if e1w is not None:
             # separate edge point cloud — not subject to the per-point
             # shuffle (its rows don't correspond to the shape's points)
-            item["edges1w"] = self.edges1w[index]
+            item["edges1w"] = e1w
         return item
 
 
@@ -236,23 +248,51 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         END = object()
         err: list = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    # bounded put that re-checks stop: a consumer that
+                    # abandons iteration early (train() hitting max_steps)
+                    # must not leave this thread blocked forever on a full
+                    # queue, pinning `depth` batches in memory
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface in the consumer thread
                 err.append(e)
             finally:
-                q.put(END)
+                # same stop-aware bounded put: a full queue must not block
+                # END delivery (the consumer may already be gone)
+                while not stop.is_set():
+                    try:
+                        q.put(END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is END:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is END:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
+            # drain so the worker's final q.put(END) cannot block
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

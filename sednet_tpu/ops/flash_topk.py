@@ -241,7 +241,9 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
             normal_metric_w=normal_metric_w, row_block=row_block,
             interpret=interpret, return_distances=return_distances,
             largest=largest, spatial_sort=spatial_sort)
-        outs = [f(q[b], p[b]) for b in range(q.shape[0])]
+        # p may be a single shared point set for batched queries
+        pb = (lambda b: p) if p.ndim == 2 else (lambda b: p[b])
+        outs = [f(q[b], pb(b)) for b in range(q.shape[0])]
         if return_distances:
             return (jnp.stack([o[0] for o in outs]),
                     jnp.stack([o[1] for o in outs]))

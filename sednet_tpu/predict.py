@@ -80,7 +80,10 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
     folds = n // drop_num
 
     def first_layer_idx(x):
-        if x.shape[-1] >= 6:  # mode 5: xyz ++ normals metric
+        # gate on the MODEL's mode, exactly like DGCNNEncoder.__call__ —
+        # channel-count sniffing would inject a points_normals graph into a
+        # mode-0 encoder fed 6-channel input
+        if cfg.mode == 5:
             return knn_indices_points_normals(
                 x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
         return knn_indices(x, cfg.knn)
@@ -230,13 +233,14 @@ def predict_shapes(
     idx1 = None
     if not cfg.fused_encoder:
         # ONE first-layer graph serves the type-model TTA votes AND the
-        # inst-model forward: the layer-1 kNN metric sees only geometry
+        # inst-model forward: the layer-1 kNN metric sees only geometry.
+        # Metric gated on cfg.mode like DGCNNEncoder (not channel count).
         from sednet_tpu.ops.knn import (knn_indices,
                                         knn_indices_points_normals)
 
         idx1 = (knn_indices_points_normals(
                     x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
-                if x.shape[-1] >= 6 else knn_indices(x, cfg.knn))
+                if cfg.mode == 5 else knn_indices(x, cfg.knn))
     type_lp = tta_fn(params_type, x, idx1)                # (B, N, 6)
     _, embedding, edge_logits = forward_fn(params_inst, x, idx1)
 
@@ -420,7 +424,11 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
             pad = mesh_devices - b % mesh_devices  # final partial batch
             batch = {k: np.concatenate(
                 [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
-        ids = list(range(sid, sid + b))
+        # padded rows duplicate the last shape — give them its id so
+        # predict_shapes can index shape_ids for every padded row (their
+        # results are dropped below; the spectral-cache key reuse is exact
+        # since the geometry is identical)
+        ids = list(range(sid, sid + b)) + [sid + b - 1] * pad
         results = predict_shapes(model, params_type, params_inst, batch, cfg,
                                  key=key, multi_vote=multi_vote,
                                  fold5drop=fold5drop, cache=cache,

@@ -164,3 +164,50 @@ def test_prefetch_loader_propagates_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="boom"):
         list(PrefetchLoader(L()))
+
+
+def test_edges1w_rides_the_same_frame():
+    """The edges1w cloud must follow the points through extent scale,
+    augmentation draws and PCA rotation (reference:
+    src/dataset_segments_my.py:430-462) — regression: it was only
+    mean-centered."""
+    from sednet_tpu.data.datasets import _H5Dataset
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(2, 128, 3).astype(np.float32) * 3.0 + 1.0
+    labels = np.zeros((2, 128), np.int64)
+    prim = np.zeros((2, 128), np.int64)
+    # edge cloud IS the point cloud: after identical transforms the rows
+    # must match exactly (eval: no augmentation, no shuffle)
+    ds = _H5Dataset(pts, labels, None, prim, edges1w=pts.copy(),
+                    train=False, num_points=128)
+    item = ds[0]
+    np.testing.assert_allclose(item["edges1w"], item["points"], atol=1e-6)
+
+    # train mode: augmentation draws are shared, rows only shuffled on the
+    # points side — the transformed sets must be equal
+    ds_t = _H5Dataset(pts, labels, None, prim, edges1w=pts.copy(),
+                      train=True, num_points=128, seed=3)
+    item = ds_t[0]
+    a = np.asarray(sorted(map(tuple, np.round(item["points"], 5))))
+    b = np.asarray(sorted(map(tuple, np.round(item["edges1w"], 5))))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_prefetch_loader_abandoned_early():
+    """Breaking out of a PrefetchLoader iteration must not leave the worker
+    thread blocked on the bounded queue (regression: q.put deadlock)."""
+    import threading
+    import time
+
+    from sednet_tpu.data.datasets import PrefetchLoader
+
+    n_before = threading.active_count()
+    loader = PrefetchLoader([{"a": np.zeros(1)} for _ in range(50)], depth=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit at the yield -> finally must unblock worker
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before

@@ -135,3 +135,18 @@ def test_largest_mode_matches_xla(rng):
     _, dist = topk_pallas(jnp.asarray(x), jnp.asarray(x), 16, largest=True,
                           interpret=True, return_distances=True)
     np.testing.assert_allclose(np.asarray(dist), raw, atol=1e-4)
+
+
+def test_batched_queries_shared_point_set():
+    """Docstring contract: q (B, M, D) with a single shared p (N, D)."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((200, 3)).astype(np.float32))
+    idx = topk_pallas(q, p, 4, interpret=True)
+    assert idx.shape == (2, 64, 4)
+    d = np.sum((np.asarray(q)[:, :, None] - np.asarray(p)[None, None]) ** 2,
+               -1)
+    ref = np.argsort(d, axis=-1)[..., :4]
+    got_d = np.take_along_axis(d, np.asarray(idx), axis=-1)
+    ref_d = np.take_along_axis(d, ref, axis=-1)
+    np.testing.assert_allclose(got_d, ref_d, atol=1e-5)

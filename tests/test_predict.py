@@ -209,3 +209,21 @@ def test_mesh_sharded_matches_single_device(tmp_path, small_model, rng):
     assert len(res_mesh) == len(res_one) == 8
     for a, b in zip(res_mesh, res_one):
         assert np.isfinite(a["inst_iou"]) and np.isfinite(b["inst_iou"])
+
+
+def test_mesh_partial_batch_with_hpnet(tmp_path, small_model):
+    """The final partial batch is padded to the mesh size; the per-shape
+    hpnet path must index shape_ids for padded rows too (regression: ids
+    had the unpadded length -> IndexError on the last batch)."""
+    import dataclasses
+
+    cfg, model, params = small_model
+    root = str(tmp_path)
+    write_parsenet_h5(root, n_shapes=3, n_points=N)
+    cfg2 = dataclasses.replace(cfg, hpnet_embed=True, num_test=3)
+    out_dir = os.path.join(root, "out")
+    summary, results = run_prediction(
+        cfg2, data_root=root, save_viz=False, out_dir=out_dir, batch_size=8,
+        params_type=params, params_inst=params, mesh_devices=8)
+    assert summary["n_shapes"] == 3
+    assert np.isfinite(summary["inst_iou"])
