@@ -60,6 +60,10 @@ def normal_affinity_topk(xyz: jax.Array, normals: jax.Array, *, sigma: float = 0
     a = jnp.where(a == 0, 1e-12, a)
     d = jax.lax.rsqrt(a.sum(-1))
     a = a * d[:, None] * d[None, :]
+    # reference quirk kept verbatim: the mask is taken AFTER the 1e-12
+    # background fill (smooth_normal_matrix.py:84-90), so it is identically
+    # true and the symmetrization is exactly (a + a.T)/2 everywhere —
+    # including one-directional edges
     mask = (a > 0).astype(jnp.float32)
     return (a + a.T) / jnp.clip(mask + mask.T, 1.0, 2.0)
 
@@ -125,8 +129,9 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
     """Sparse form of normal_affinity_topk: returns (idx (N,k), vals (N,k),
     rsqrt_deg (N,)) such that A = D^-1/2 W D^-1/2 with W the scatter of
     vals at (row, idx). The symmetrized operator (A + A^T)/clamp(M + M^T)
-    of the dense path is approximated by (A + A^T)/2 — identical wherever
-    both directions exist, and within 2x elsewhere (the clamp's range)."""
+    of the dense path equals (A + A^T)/2 exactly: the dense mask is taken
+    after the reference's 1e-12 background fill, so the clamp is a
+    constant 2 (see normal_affinity_topk)."""
     n = xyz.shape[0]
     idx = _neighbor_idx(xyz, k, nearest)
     n_sub = normals[idx]

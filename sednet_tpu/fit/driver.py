@@ -51,9 +51,16 @@ def remove_outliers(points: np.ndarray, nb_neighbors: int = 20,
     companions (weights, normals) can be filtered consistently."""
     n = points.shape[0]
     k = min(nb_neighbors + 1, n)
-    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
-    nn = np.sort(d2, axis=1)[:, 1:k]
-    mean_d = np.sqrt(np.clip(nn, 0, None)).mean(1)
+    p = points.astype(np.float32)
+    mean_d = np.empty(n, np.float32)
+    # row-chunked qq - 2 q p^T + pp distance blocks: the naive (N, N, 3)
+    # broadcast materializes ~2.4 GB float64 for a 10k-point segment
+    pp = (p * p).sum(1)
+    for lo in range(0, n, 2048):
+        hi = min(lo + 2048, n)
+        d2 = pp[lo:hi, None] - 2.0 * (p[lo:hi] @ p.T) + pp[None, :]
+        nn = np.sort(d2, axis=1)[:, 1:k]
+        mean_d[lo:hi] = np.sqrt(np.clip(nn, 0, None)).mean(1)
     keep = mean_d <= mean_d.mean() + std_ratio * mean_d.std()
     if return_mask:
         return points[keep], keep
@@ -65,9 +72,14 @@ def up_sample_points_in_range(points: np.ndarray, weights: np.ndarray,
                               rng: np.random.RandomState | None = None):
     """Resample to a_max points: random subset if too many, else repeatedly
     add 4-NN centroids (reference: src/fitting_utils.py:149-237)."""
+    # NOTE: like the reference (src/fitting_utils.py:202-219) this IGNORES
+    # a_min and always resamples to exactly a_max — a segment already inside
+    # [a_min, a_max] is still grown and re-cut; kept for output parity.
     rng = rng or np.random.RandomState(0)
     while points.shape[0] < a_max:
-        d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+        p = points.astype(np.float32)
+        pp = (p * p).sum(1)
+        d2 = pp[:, None] - 2.0 * (p @ p.T) + pp[None, :]
         idx = np.argsort(d2, axis=1)[:, :5]
         centers = points[idx].mean(1)
         points = np.concatenate([points, centers])

@@ -462,6 +462,14 @@ def cone_mesh(par, curves):
     a /= np.linalg.norm(a) + 1e-12
     theta = float(par[3])
     lo, hi = _axial_range(a, apex, curves, default=(0.02, 0.8))
+    # the v2 cone fit orients the axis from the body TOWARD the apex
+    # (primitive_forward_v2.py:868: (apex - p0) . a >= 0), so boundary
+    # curves land at negative axial offsets; mesh down whichever side the
+    # curves actually lie on (the reference arg2mesh is sign-insensitive —
+    # it works from ||circle_c - apex|| distances, arg2mesh.py:160-190)
+    if abs(lo) > abs(hi):
+        a = -a
+        lo, hi = -hi, -lo
     lo = max(lo, 0.0)
     hi = max(hi, lo + 1e-3)
     frame = _circle_frame(curves)

@@ -37,8 +37,13 @@ def resplit_instances(points: np.ndarray, normals: np.ndarray,
             np.clip(types[mask], 0, num_types - 1)]
         feats = np.concatenate([normals[mask], points[mask, :3], one_hot], 1)
         feats = feats / (np.linalg.norm(feats, axis=1, keepdims=True) + 1e-12)
+        # num_samples is a static jit argument of mean_shift: bucket to a
+        # power of two so distinct instance sizes reuse compilations
+        ns = 8
+        while ns < feats.shape[0] // 4:
+            ns *= 2
         res = mean_shift(jax.random.fold_in(key, k), jnp.asarray(feats),
-                         num_samples=max(feats.shape[0] // 4, 8),
+                         num_samples=ns,
                          quantile=quantile, iterations=iterations)
         sub = np.asarray(res.labels)
         n_sub = int(res.num_clusters)

@@ -138,9 +138,12 @@ def cylinder_cone(cyl, cone, *, align_cos=0.98):
     if abs(_cos(a1, a2)) < align_cos:
         return (None,)
     h = r1 / np.tan(theta)
-    center = apex + a2 * h
-    if _cos(apex - center, a2) >= 0:
-        center = apex - a2 * h
+    # the reference's flip test cos(apex - center, a2) < 0 is identically
+    # true for center = apex + a2*h, so its EFFECTIVE behavior is always
+    # center = apex - a2*h — correct for the v2 cone convention where the
+    # axis points from the body toward the apex
+    # (proj_2_edge_utils.py:297-300)
+    center = apex - a2 * h
     x_axis, y_axis = circle_plane_axes(a1)
     return ("circle", center, x_axis, y_axis, r1)
 

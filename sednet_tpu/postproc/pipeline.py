@@ -132,6 +132,11 @@ def process_shape(points: np.ndarray, normals: np.ndarray, insts: np.ndarray,
         if label in (T_CYLINDER, T_CONE):
             mask = mask & ~strict_edge
         p, n = points[mask, :3], normals[mask]
+        # the corner proximity filter later measures distance to THESE
+        # sets — i.e. boundary-excluded for cylinder/cone instances,
+        # exactly like the reference's inst_data
+        # (primitive_forward_v2.py:1158-1171 builds inst_data from the
+        # edge-filtered index; the fitter_point test at :1431 reads it)
         inst_points[pid] = p
         if p.shape[0] < min_points:
             parameters[pid] = None

@@ -85,11 +85,19 @@ class RobustFitter:
         self.plane_filter_ratio = plane_filter_ratio
 
     def fit_plane(self, points, normals, weights=None, nofilter=False):
-        if not nofilter:
-            points, normals = _nearest_fraction(
-                points, normals, fraction=self.plane_filter_ratio)
+        # weights ride the SAME nearest-fraction index as the points — the
+        # reference indexes all three by `index` (primitive_forward_v2.py:
+        # 722-727); truncating by count would pair points with unrelated
+        # weights after the distance sort
         w = np.ones((points.shape[0], 1)) if weights is None else \
-            weights.reshape(-1, 1)[: points.shape[0]]
+            weights.reshape(-1, 1)
+        if not nofilter:
+            if normals is None:
+                points, w = _nearest_fraction(
+                    points, w, fraction=self.plane_filter_ratio)
+            else:
+                points, normals, w = _nearest_fraction(
+                    points, normals, w, fraction=self.plane_filter_ratio)
         wsum = w.sum() + EPS
         x = points - (w * points).sum(0, keepdims=True) / wsum
         _, s, vt = np.linalg.svd(w * x, full_matrices=False)
@@ -123,9 +131,10 @@ class RobustFitter:
         return "cylinder", a, center, float(radius)
 
     def fit_cone(self, points, normals, weights=None):
-        points, normals = _nearest_fraction(points, normals, fraction=0.5)
         w = np.ones((points.shape[0], 1)) if weights is None else \
-            weights.reshape(-1, 1)[: points.shape[0]]
+            weights.reshape(-1, 1)
+        points, normals, w = _nearest_fraction(points, normals, w,
+                                               fraction=0.5)
         y = (normals * points).sum(1, keepdims=True)
         apex = np.linalg.lstsq(normals, y, rcond=None)[0][:, 0]
 

@@ -120,8 +120,19 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
                 raise KeyError(wk)
             continue
         _set(params, path + ("scale",), _np(sd[wk]))
-        _set(params, path + ("bias",), _np(sd[bk]))
-        used.update((wk, bk))
+        used.add(wk)
+        if bk in sd:
+            _set(params, path + ("bias",), _np(sd[bk]))
+            used.add(bk)
+        elif strict:
+            raise KeyError(bk)
+    leftover = [k for k in sd if k not in used]
+    if leftover:
+        import logging
+
+        logging.getLogger("sednet_tpu.torch_import").warning(
+            "unmatched checkpoint keys (ignored): %s",
+            leftover[:20] + (["..."] if len(leftover) > 20 else []))
     return params
 
 

@@ -244,3 +244,65 @@ def test_process_shape_box_corner(rng, tmp_path):
     assert os.path.exists(tmp_path / "paras" / "param_7.txt")
     assert os.path.exists(tmp_path / "paras" / "param_inter_lines_7.json")
     assert os.path.exists(tmp_path / "7_final_edges.txt")
+
+
+def test_robust_fit_weights_follow_nearest_fraction():
+    """Weights must be filtered by the same distance-sort index as the
+    points (reference: primitive_forward_v2.py:722-727) — regression:
+    truncation by count paired points with unrelated weights."""
+    from sednet_tpu.postproc.robust_fits import RobustFitter, \
+        _nearest_fraction
+
+    rng = np.random.RandomState(0)
+    n = 200
+    pts = rng.randn(n, 3)
+    pts[:, 2] = 0.0
+    nrm = np.tile([0.0, 0.0, 1.0], (n, 1))
+    w = rng.rand(n).astype(np.float64)
+    f = RobustFitter()
+    got = f.fit_plane(pts, nrm, weights=w)
+    # manual reference: filter all three by the same keep index, then the
+    # unfiltered fit
+    pk, nk, wk = _nearest_fraction(pts, nrm, w, fraction=0.5)
+    ref = f.fit_plane(pk, nk, weights=wk, nofilter=True)
+    np.testing.assert_allclose(np.abs(got[1] @ ref[1]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(got[2], ref[2], atol=1e-8)
+
+
+def test_cone_mesh_v2_axis_convention():
+    """The v2 cone fit points the axis from the body toward the apex; the
+    mesh must land on the side the boundary curves actually lie on
+    (regression: clamped-to-apex sliver)."""
+    from sednet_tpu.postproc.arg2mesh import cone_mesh
+
+    apex = np.array([0.0, 0.0, 1.0])
+    a = np.array([0.0, 0.0, 1.0])   # toward apex == AWAY from the body
+    theta = np.pi / 6
+    # boundary circle at z = 0 (offset -1 along a), radius tan(theta)
+    r = np.tan(theta)
+    phi = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    circle = ("circle", np.array([0.0, 0.0, 0.0]),
+              np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), r)
+    verts, faces = cone_mesh(("cone", apex, a, theta), {0: circle})
+    # vertices must span down to the boundary circle, not a 1e-3 sliver
+    z = verts[:, 2]
+    assert z.min() < 0.05, z.min()
+    assert z.max() <= 1.0 + 1e-6
+    # and lie on the cone: radial distance == tan(theta) * (apex_z - z)
+    rad = np.linalg.norm(verts[:, :2], axis=1)
+    np.testing.assert_allclose(rad, np.tan(theta) * (1.0 - z), atol=1e-6)
+
+
+def test_cylinder_cone_circle_on_body_side():
+    """Coaxial cylinder x cone circle sits at apex - a*h (the reference's
+    effective always-flip, proj_2_edge_utils.py:297-300)."""
+    from sednet_tpu.postproc.intersections import cylinder_cone
+
+    apex = np.array([0.0, 0.0, 1.0])
+    a = np.array([0.0, 0.0, 1.0])   # v2 convention: toward apex
+    theta = np.pi / 4
+    cyl = ("cylinder", a, np.zeros(3), 0.5)
+    res = cylinder_cone(cyl, ("cone", apex, a, theta))
+    assert res[0] == "circle"
+    h = 0.5 / np.tan(theta)
+    np.testing.assert_allclose(res[1], apex - a * h, atol=1e-9)
