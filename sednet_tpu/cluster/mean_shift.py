@@ -213,7 +213,12 @@ def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
     _, raw = _blocked_colmax(x, centers, survivor_sim)
     compact = (jnp.cumsum(center_mask) - 1).astype(jnp.int32)
     labels = compact[raw]
-    return labels, center_mask, center_mask.sum().astype(jnp.int32)
+    # count labels actually ASSIGNED, like the reference's retry criterion
+    # len(unique(cluster_ids)) (generate_predictions_aug.py:30-33) — a
+    # surviving center that wins votes but is no point's best match must
+    # not inflate the count and trigger spurious guard retries
+    used = jnp.zeros((n,), bool).at[raw].max(True) & center_mask
+    return labels, center_mask, used.sum().astype(jnp.int32)
 
 
 @functools.partial(
@@ -308,4 +313,23 @@ def guard_mean_shift(key, x, *, num_samples=10000, quantile=0.015,
     key, sub = jax.random.split(key)
     first = attempt(jnp.asarray(quantile, jnp.float32), sub)
     res, _, _ = lax.while_loop(cond, body, (first, key, jnp.int32(0)))
+
+    # the reference retries unboundedly; this loop caps at 16. If a
+    # degenerate embedding still exceeds max_clusters, clamp instead of
+    # emitting labels >= 50 that crash the one-hot metric stack: clusters
+    # are ranked by size, overflow points join the largest cluster.
+    def _cap(r):
+        n = r.labels.shape[0]
+        sizes = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), r.labels,
+                                    num_segments=n)
+        order = jnp.argsort(-sizes)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        rl = rank[r.labels]
+        return r._replace(
+            labels=jnp.where(rl < max_clusters, rl, 0),
+            num_clusters=jnp.minimum(r.num_clusters,
+                                     jnp.int32(max_clusters)))
+
+    res = lax.cond(res.num_clusters > max_clusters, _cap, lambda r: r, res)
     return res

@@ -79,7 +79,13 @@ def reorder_pred_idx(inputs: np.ndarray, target: np.ndarray):
     target_inst_num = target.max(-1) + 1
     matching = np.zeros((b, n, c), np.int64)
     for i in range(b):
-        gt_oh = np.eye(c, dtype=np.float64)[np.clip(target[i], 0, c - 1)]
+        # -1 noise points belong to NO GT segment (the reference builds
+        # each one-hot from target == j for j >= 0, my_iou_loss.py:158-166)
+        # — clipping them into segment 0 would skew its IoU row
+        t = target[i]
+        gt_oh = np.zeros((n, c), np.float64)
+        valid = t >= 0
+        gt_oh[valid, np.clip(t[valid], 0, c - 1)] = 1.0
         pr_oh = np.eye(c, dtype=np.float64)[inputs_idx[i]]
         inter = gt_oh.T @ pr_oh                              # (C, C)
         union = gt_oh.sum(0)[:, None] + pr_oh.sum(0)[None, :] - inter

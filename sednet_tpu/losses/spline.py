@@ -79,12 +79,16 @@ def spline_reconstruction_loss(nu, nv, control: jax.Array, points: jax.Array,
 
 def spline_reconstruction_loss_one_sided(nu, nv, control, points, *, side=1):
     """One-sided chamfer (reference: src/loss.py:142-165 +
-    src/utils.py:299-323): side=1 -> every reconst point near gt."""
+    src/utils.py:299-323). side=1 -> for every GT point, the nearest
+    RECONST point ("the prediction must cover the gt patch"): the
+    reference's diff is (B, M_gt, N_pred) and side==1 mins over the pred
+    axis. side=0 is the reverse (every reconst point near some gt)."""
     cu, cv = nu.shape[1], nv.shape[1]
     reconst = sample_from_control_grid(jnp.asarray(nu), jnp.asarray(nv),
                                        control, cu, cv)
     d1, d2, _, _ = nn_distance(reconst, points)
-    dist = jnp.mean(d1) if side == 1 else jnp.mean(d2)
+    # d1: per-reconst min over gt (side 0); d2: per-gt min over reconst
+    dist = jnp.mean(d2) if side == 1 else jnp.mean(d1)
     return dist, reconst
 
 

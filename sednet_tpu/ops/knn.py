@@ -75,7 +75,9 @@ def _row_topk(neg_d: jax.Array, k: int, method: str) -> jax.Array:
         _, idx = lax.approx_max_k(neg_d, k, recall_target=0.95)
         return idx.astype(jnp.int32)
     chunk = 512  # swept on v5e: 512 beats 1024/2048 for N=10k, k=64
-    if method == "hier" and n >= 2 * chunk and n % 128 == 0:
+    # (no n % 128 gate: the divisor search below handles any composite n —
+    # N=10000 itself picks c=16, m=625)
+    if method == "hier" and n >= 2 * chunk:
         # choose a chunk count that divides n
         c = max(n // chunk, 1)
         while n % c != 0:

@@ -60,6 +60,9 @@ def _ms_kernel(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
         out_ref[:] = out / norm
 
 
+# NOTE: keep in sync with _ms_kernel above — the bodies are intentionally
+# twinned (only the ref indexing / grid axis differ); any change to the
+# exponent clamps, masking or normalization epsilons must land in BOTH.
 def _ms_kernel_batched(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
                        num_acc, den_acc):
     b = pl.program_id(0)

@@ -348,6 +348,11 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
     train_accum: list[dict] = []
     done = False
     n_epochs = cfg.epochs if max_steps is None else 10 ** 9
+    if len(loader) == 0:
+        raise ValueError(
+            f"empty train loader: dataset of {len(train_ds)} shapes yields "
+            f"no batch at batch_size={cfg.batch_size} (drop_last) — the "
+            "max_steps loop would spin through empty epochs forever")
     for epoch in range(n_epochs):
         if done:
             break

@@ -117,3 +117,20 @@ def test_compute_type_miou_abc(rng):
     scores = to_one_hot(t_gt, 10) * 5.0
     v = compute_type_miou_abc(scores, t_gt.copy(), cluster, i_gt)
     assert v == pytest.approx(1.0)
+
+
+def test_masked_chamfer_pairs_matches_per_pair():
+    """The batched padded chamfer must equal per-pair chamfer_distance
+    (regression: per-pair dynamic shapes retraced every size signature)."""
+    from sednet_tpu.metrics.segmentation import _masked_chamfer_pairs
+    from sednet_tpu.ops.chamfer import chamfer_distance
+
+    rng = np.random.default_rng(0)
+    pairs = [(rng.standard_normal((17 + 9 * i, 3)).astype(np.float32),
+              rng.standard_normal((23 + 5 * i, 3)).astype(np.float32))
+             for i in range(5)]
+    got = _masked_chamfer_pairs(pairs)
+    for i, (a, b) in enumerate(pairs):
+        ref = float(chamfer_distance(jnp.asarray(a[None]),
+                                     jnp.asarray(b[None])))
+        np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-7)
