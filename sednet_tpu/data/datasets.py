@@ -170,8 +170,14 @@ class EdgeDataset(_H5Dataset):
         arrays = _h5_arrays(path, keys)
         pts, labels, nrm, prim = arrays[:4]
         edges1w = arrays[4] if ret_edges1w else None
-        edge_path = os.path.join(prefix, "data", "train_My_Edge.h5")
-        edges, edges_w = _h5_arrays(edge_path, ["label", "W"])
+        # per-split edge-label file (reference loads test_My_Edge.h5 for
+        # the test split, dataset_segments_my.py:81-83); tolerate absence
+        # on eval-only machines with zero placeholders like ParseNetDataset
+        edge_path = os.path.join(prefix, "data", f"{split}_My_Edge.h5")
+        if os.path.exists(edge_path):
+            edges, edges_w = _h5_arrays(edge_path, ["label", "W"])
+        else:
+            edges = edges_w = None
         super().__init__(pts, labels, nrm if normals else None, prim,
                          edges=edges, edges_w=edges_w, edges1w=edges1w,
                          train=train, **kw)

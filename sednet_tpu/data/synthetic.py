@@ -159,7 +159,7 @@ def write_parsenet_h5(root: str, *, n_shapes: int = 4, n_points: int = 512,
 
 def write_edge_h5(root: str, *, n_shapes: int = 4, n_points: int = 512,
                   seed: int = 1):
-    """Write data/{train,test}_data_withEdge.h5 + data/train_My_Edge.h5."""
+    """Write data/{train,test}_data_withEdge.h5 + data/{split}_My_Edge.h5."""
     import h5py
 
     rng = np.random.RandomState(seed)
@@ -183,9 +183,8 @@ def write_edge_h5(root: str, *, n_shapes: int = 4, n_points: int = 512,
                 sel = rng.choice(on_edge, d["points"].shape[1], replace=True)
                 edge_clouds[i] = d["points"][i, sel]
             hf.create_dataset("edge", data=edge_clouds)
-        if split == "train":
-            with h5py.File(os.path.join(root, "data", "train_My_Edge.h5"),
-                           "w") as hf:
-                hf.create_dataset("label", data=d["edges"])
-                hf.create_dataset("W", data=d["edges_w"])
+        with h5py.File(os.path.join(root, "data", f"{split}_My_Edge.h5"),
+                       "w") as hf:
+            hf.create_dataset("label", data=d["edges"])
+            hf.create_dataset("W", data=d["edges_w"])
     return root

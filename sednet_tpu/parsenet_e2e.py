@@ -156,7 +156,9 @@ def make_e2e_train_step(model, optimizer, cfg, fitting_weight: float = 1.0):
     from sednet_tpu.losses import TripletConfig, label_smoothing_nll, triplet_loss
     from sednet_tpu.train import model_input, remap_train_types
 
-    tri_cfg = TripletConfig(max_segments=MAX_SEGS)
+    # honor the config's triplet knobs like train.make_train_step does
+    tri_cfg = TripletConfig(max_segments=MAX_SEGS,
+                            margin=cfg.triplet_margin)
 
     @jax.jit
     def step(state: E2EState, batch, match_arrays, bandwidths, key):

@@ -64,6 +64,20 @@ def make_forward(model, fused: bool = False):
     return jax.jit(functools.partial(_forward, model, fused=fused))
 
 
+def make_first_layer_idx(cfg: Config):
+    """First-layer kNN builder matching the metric of the model build_model
+    actually constructs: train.build_model derives mode = 5 iff cfg.normals
+    (cfg.mode is NOT consulted there), so the graph metric must gate on
+    cfg.normals too — one shared helper instead of three divergent copies
+    of this branch (DGCNNEncoder.__call__ is the ground truth)."""
+    from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
+
+    if cfg.normals:
+        return lambda x: knn_indices_points_normals(
+            x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
+    return lambda x: knn_indices(x, cfg.knn)
+
+
 def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
                            fold5drop: bool, drop_num: int = 2000):
     """Returns a jitted fn(params_type, x (B,N,C)) -> (B,N,6) log-probs with
@@ -74,32 +88,27 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
     neighbour ordering is invariant and only the feature-space kNNs of the
     deeper layers need rebuilding. Fold-drop votes operate on point subsets
     and rebuild everything, like the reference."""
-    from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
-
-    n = cfg.num_points
-    folds = n // drop_num
-
-    def first_layer_idx(x):
-        # gate on the MODEL's mode, exactly like DGCNNEncoder.__call__ —
-        # channel-count sniffing would inject a points_normals graph into a
-        # mode-0 encoder fed 6-channel input
-        if cfg.mode == 5:
-            return knn_indices_points_normals(
-                x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
-        return knn_indices(x, cfg.knn)
+    first_layer_idx = make_first_layer_idx(cfg)
+    folds = max(cfg.num_points // drop_num, 1)
 
     def base(params, x, idx1=None):
         return model.apply({"params": params}, x, idx1).type_log_prob
 
     def fold5(params, x):
-        """x: (B, N, C) -> summed fold-drop votes (B, N, 6)."""
-        b = x.shape[0]
-        votes = jnp.zeros((b, n, 6), x.dtype)
+        """x: (B, N, C) -> summed fold-drop votes (B, N, classes). Fold
+        geometry follows the ACTUAL input length (datasets only subsample
+        to cfg.num_points in train mode); at N == cfg.num_points this is
+        exactly the reference's drop_num-sized folds."""
+        n = x.shape[1]
+        drop = n // folds
+        votes = None
         for i in range(folds):
             mask_idx = jnp.concatenate([
-                jnp.arange(0, i * drop_num),
-                jnp.arange((i + 1) * drop_num, n)])
-            lp = base(params, x[:, mask_idx])  # (B, keep, 6)
+                jnp.arange(0, i * drop),
+                jnp.arange((i + 1) * drop, n)])
+            lp = base(params, x[:, mask_idx])  # (B, keep, classes)
+            if votes is None:
+                votes = jnp.zeros((x.shape[0], n, lp.shape[-1]), lp.dtype)
             votes = votes.at[:, mask_idx].add(lp)
         return votes
 
@@ -117,8 +126,10 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
             r = jnp.asarray(Y_FLIP)
             total = None
             for rot in (jnp.eye(3, dtype=x.dtype), r):
-                xr = jnp.concatenate(
-                    [x[..., :3] @ rot, x[..., 3:] @ rot], -1)
+                parts = [x[..., :3] @ rot]
+                if x.shape[-1] > 3:  # normals rotate too; xyz-only inputs
+                    parts.append(x[..., 3:] @ rot)  # have no second block
+                xr = jnp.concatenate(parts, -1)
                 cur = base(params, xr, idx1) + fold5(params, xr)
                 total = cur if total is None else total + cur
             lp = total
@@ -233,14 +244,8 @@ def predict_shapes(
     idx1 = None
     if not cfg.fused_encoder:
         # ONE first-layer graph serves the type-model TTA votes AND the
-        # inst-model forward: the layer-1 kNN metric sees only geometry.
-        # Metric gated on cfg.mode like DGCNNEncoder (not channel count).
-        from sednet_tpu.ops.knn import (knn_indices,
-                                        knn_indices_points_normals)
-
-        idx1 = (knn_indices_points_normals(
-                    x, cfg.knn, normal_metric_w=cfg.normal_metric_W)
-                if cfg.mode == 5 else knn_indices(x, cfg.knn))
+        # inst-model forward: the layer-1 kNN metric sees only geometry
+        idx1 = make_first_layer_idx(cfg)(x)
     type_lp = tta_fn(params_type, x, idx1)                # (B, N, 6)
     _, embedding, edge_logits = forward_fn(params_inst, x, idx1)
 
@@ -255,16 +260,22 @@ def predict_shapes(
             min(cfg.ms_num_samples, cfg.num_points), cfg.ms_iterations)
         sharded_labels = (np.asarray(labels_all), np.asarray(nums_all))
 
+    # one device softmax/argmax + transfer for the whole batch (the loop
+    # previously dispatched per-shape programs on the throughput path);
+    # edge_logits is None for models built with edge_module=False
+    pred_prim_all = np.asarray(type_lp.argmax(-1))
+    edge_prob_all = (np.asarray(jax.nn.softmax(edge_logits, -1))
+                     if edge_logits is not None else
+                     np.zeros(pred_prim_all.shape + (2,), np.float32))
     results = []
     for i in range(b):
         if sharded_labels is not None:
             labels_i, num_i = (sharded_labels[0][i],
                                int(sharded_labels[1][i]))
             if num_i <= cfg.ms_max_clusters - 1:
-                pred_prim = np.asarray(type_lp[i].argmax(-1))
                 results.append(_shape_metrics(
-                    labels_i, num_i, pred_prim, batch, i,
-                    np.asarray(jax.nn.softmax(edge_logits[i], -1))))
+                    labels_i, num_i, pred_prim_all[i], batch, i,
+                    edge_prob_all[i]))
                 continue
             # rare guard retry falls through to the per-shape path
         sid = shape_ids[i] if shape_ids is not None else None
@@ -286,10 +297,9 @@ def predict_shapes(
             max_clusters=cfg.ms_max_clusters - 1,
             retry_factor=cfg.ms_retry_factor)
         cluster_ids = np.asarray(res.labels)
-        pred_prim = np.asarray(type_lp[i].argmax(-1))
         results.append(_shape_metrics(
-            cluster_ids, int(res.num_clusters), pred_prim, batch, i,
-            np.asarray(jax.nn.softmax(edge_logits[i], -1))))
+            cluster_ids, int(res.num_clusters), pred_prim_all[i], batch, i,
+            edge_prob_all[i]))
     return results
 
 

@@ -227,3 +227,44 @@ def test_mesh_partial_batch_with_hpnet(tmp_path, small_model):
         params_type=params, params_inst=params, mesh_devices=8)
     assert summary["n_shapes"] == 3
     assert np.isfinite(summary["inst_iou"])
+
+
+def test_tta_rotate_fold_combo_without_normals(rng):
+    """mode-0 (xyz-only) inputs must survive the rotate+fold5 TTA branch
+    (regression: x[..., 3:] @ rot raised on the empty channel block)."""
+    import dataclasses
+
+    from sednet_tpu.models import SEDNet
+    from sednet_tpu.predict import make_tta_type_log_prob
+
+    cfg2 = Config(num_points=100, knn=6, embed=16, normals=False, mode=0)
+    model = SEDNet(mode=0, k=6)
+    x = jnp.asarray(rng.randn(1, 100, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    fn = make_tta_type_log_prob(model, cfg2, True, True, drop_num=20)
+    lp = fn(params, x)
+    assert lp.shape == (1, 100, 6)
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_predict_shapes_edgeless_model(rng):
+    """edge_module=False models emit edge_logits=None; predict_shapes must
+    substitute zero edge probabilities instead of crashing."""
+    from sednet_tpu.models import SEDNet
+    from sednet_tpu.predict import predict_shapes
+
+    n = 128
+    cfg2 = Config(num_points=n, knn=6, embed=16, normals=True,
+                  hpnet_embed=False, edge_module=False)
+    model = SEDNet(mode=5, k=6, edge_module=False)
+    x6 = rng.randn(1, n, 6).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x6))["params"]
+    batch = {
+        "points": x6[..., :3], "normals": x6[..., 3:],
+        "labels": np.zeros((1, n), np.int64),
+        "prim": np.ones((1, n), np.int64),
+    }
+    res = predict_shapes(model, params, params, batch, cfg2,
+                         key=jax.random.PRNGKey(1))
+    assert len(res) == 1
+    assert np.allclose(res[0]["edge_prob"], 0.0) or "edge_prob" not in res[0]
