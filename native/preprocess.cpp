@@ -105,6 +105,14 @@ Mat3 rotation_a_to_b(const double a[3], const double b[3]) {
   double w_[3];
   cross(b, a, w_);
   double sin_ab = norm(w_);
+  if (sin_ab < 1e-12) {
+    // (anti-)parallel axes: the numpy twin's singular-F inversion raises
+    // and falls back to identity (geometry.py rotation_matrix_a_to_b);
+    // without this the rank-1 F F^T below collapses every point to 0
+    Mat3 id{};
+    id.m[0][0] = id.m[1][1] = id.m[2][2] = 1.0;
+    return id;
+  }
   double u[3] = {a[0], a[1], a[2]};
   double v_[3] = {b[0] - cos_ab * a[0], b[1] - cos_ab * a[1],
                   b[2] - cos_ab * a[2]};

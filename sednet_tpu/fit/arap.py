@@ -25,11 +25,12 @@ def grid_triangles(size_u: int, size_v: int) -> np.ndarray:
     for i in range(size_u - 1):
         for j in range(size_v - 1):
             a = i * size_v + j
-            b = a + 1
-            c = a + size_v
-            d = c + 1
-            tris.append((a, b, c))
-            tris.append((b, d, c))
+            b = a + size_v
+            # same quad diagonal (a, b+1) as utils/mesh.tessellate_points
+            # and fit/surfaces.tessellate_points_fast — one triangulation
+            # convention across the package
+            tris.append((a, b, b + 1))
+            tris.append((a, b + 1, a + 1))
     return np.asarray(tris, np.int64)
 
 
@@ -99,8 +100,11 @@ def arap_deform(grid_points: np.ndarray, input_points: np.ndarray,
     edges, w = _cotan_weights(p0, tris)
 
     handles = boundary_indices(size_u, size_v)
+    # full-grid Hungarian like the reference define_matching
+    # (fitting_optimization.py:106-114 matches every output vertex);
+    # only the boundary handles' rows become hard constraints
     matched = match_targets(p0, np.asarray(input_points, float), rng)
-    targets = p0[handles] + (matched - p0)[handles]
+    targets = matched[handles]
 
     free = np.setdiff1d(np.arange(n), handles)
     pos_of_free = -np.ones(n, np.int64)

@@ -121,7 +121,12 @@ def _make_fused_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
             best_v, proc = carry
             d, j_eff, _, _ = tile_dist(j)
             thresh = best_v[:, k_lane:k_lane + 1]
-            any_hit = jnp.any(jnp.min(d, axis=1, keepdims=True) < thresh)
+            # <= (not <): a tile whose only candidates TIE the running
+            # k-th distance must still be marked for phase 2, or ties
+            # would join the neighbour set only when their tile streamed
+            # early — the documented all-ties contract would then depend
+            # on the Morton order
+            any_hit = jnp.any(jnp.min(d, axis=1, keepdims=True) <= thresh)
             best_v = lax.cond(any_hit,
                               lambda bv: _fold_tile_v(bv, d),
                               lambda bv: bv, best_v)

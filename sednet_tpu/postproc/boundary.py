@@ -8,9 +8,6 @@ needed (SURVEY §2.8).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
-
-from sednet_tpu.ops.knn import knn_indices
 
 MAX_INSTANCES = 50
 
@@ -18,9 +15,28 @@ MAX_INSTANCES = 50
 def three_nn_indices(points: np.ndarray) -> np.ndarray:
     """(N, 3) -> (N, 3) indices of the 3 nearest points (self first) —
     the pointnet2 three_nn interface (reference:
-    pointnet2/_ext_src/src/interpolate.cpp via proj_2_edge_utils.py:48)."""
-    idx = knn_indices(jnp.asarray(points[None], jnp.float32), 3)
-    return np.asarray(idx[0])
+    pointnet2/_ext_src/src/interpolate.cpp via proj_2_edge_utils.py:48).
+
+    Host-side chunked numpy: the jitted kNN op would retrace for every
+    distinct post-filter point count (pipeline.process_shape calls this on
+    boundary/bad-point-filtered sets whose size differs per shape), and at
+    k=3 the device offers no advantage over a blocked argpartition."""
+    p = points[:, :3].astype(np.float32)
+    n = p.shape[0]
+    pp = (p * p).sum(1)
+    out = np.empty((n, 3), np.int64)
+    for lo in range(0, n, 2048):
+        hi = min(lo + 2048, n)
+        d2 = pp[lo:hi, None] - 2.0 * (p[lo:hi] @ p.T) + pp[None, :]
+        k = min(3, n)
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        row = np.take_along_axis(d2, part, axis=1)
+        idx = np.take_along_axis(part, np.argsort(row, axis=1), axis=1)
+        if k < 3:  # degenerate tiny inputs: repeat the last column
+            idx = np.concatenate(
+                [idx] + [idx[:, -1:]] * (3 - k), axis=1)
+        out[lo:hi] = idx
+    return out
 
 
 def boundary_edge_mask(points: np.ndarray, insts: np.ndarray,
@@ -89,9 +105,18 @@ def face_adjacency(points: np.ndarray, insts: np.ndarray,
         own = insts == pid
         if own.sum() == 0:
             continue
-        d = ((points[:, :3] - points[own][0, :3]) ** 2).sum(1)
-        order = np.argsort(d)
-        other = insts[order][insts[order] != pid]
-        if other.size:
-            mat[int(pid), int(other[0])] = True
+        # nearest instance to the WHOLE instance (min over all own points),
+        # not to an arbitrary first point — an elongated instance's single
+        # endpoint can be closest to the wrong primitive
+        other_idx = np.nonzero(~own)[0]
+        if other_idx.size == 0:
+            continue
+        po = points[own, :3].astype(np.float32)
+        pt = points[other_idx, :3].astype(np.float32)
+        dmin = np.full(other_idx.shape[0], np.inf, np.float32)
+        for lo in range(0, po.shape[0], 1024):
+            blk = po[lo: lo + 1024]
+            d2 = ((pt[:, None, :] - blk[None, :, :]) ** 2).sum(-1).min(1)
+            dmin = np.minimum(dmin, d2)
+        mat[int(pid), int(insts[other_idx[np.argmin(dmin)]])] = True
     return mat

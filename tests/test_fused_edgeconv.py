@@ -139,3 +139,19 @@ def test_apply_fused_full_model():
         np.testing.assert_allclose(
             np.asarray(getattr(fus, name)),
             np.asarray(getattr(ref, name)), atol=5e-5)
+
+
+def test_fused_reductions_duplicated_points_all_ties():
+    """Exact duplicates tie the k-th distance; every duplicate must join
+    the neighbour set regardless of which streamed tile holds it
+    (regression: strict '<' tracking skipped late tie-only tiles)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((80, 3)).astype(np.float32)
+    geom = np.concatenate([base, base, base])          # every point x3
+    a = rng.standard_normal((240, 8)).astype(np.float32)
+    k = 6  # k-th distance ties across duplicates
+    mx, sm, sq, cnt = fused_edge_reductions(
+        jnp.asarray(geom), jnp.asarray(a), k, interpret=True)
+    rmx, rsm, rsq, rcnt = _brute_reductions(geom, a, k)
+    np.testing.assert_array_equal(np.asarray(cnt), rcnt)
+    np.testing.assert_allclose(np.asarray(sm), rsm, atol=1e-3)

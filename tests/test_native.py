@@ -51,3 +51,20 @@ def test_dataset_native_path(tmp_path, rng):
     assert np.abs(item["points"]).max() < 2.0
     ext = item["points"].max(0) - item["points"].min(0)
     assert ext.max() == pytest.approx(1.0, abs=0.35)
+
+
+def test_native_pca_align_degenerate_parallel_axis():
+    """A cloud whose smallest principal axis is exactly +-x must survive
+    the native PCA alignment (regression: the rank-1 F G F^T collapsed
+    every point to the origin; the numpy twin falls back to identity)."""
+    from sednet_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    pts = np.zeros((1, 500, 3), np.float32)
+    pts[0, :, 1:] = rng.standard_normal((500, 2)).astype(np.float32)
+    out, _ = native.preprocess_batch(pts.copy(), None, augment=False,
+                                     seed=0, threads=1)
+    ext = out[0].max(0) - out[0].min(0)
+    assert ext.max() > 0.5, ext
