@@ -171,10 +171,12 @@ class EdgeDataset(_H5Dataset):
         pts, labels, nrm, prim = arrays[:4]
         edges1w = arrays[4] if ret_edges1w else None
         # per-split edge-label file (reference loads test_My_Edge.h5 for
-        # the test split, dataset_segments_my.py:81-83); tolerate absence
-        # on eval-only machines with zero placeholders like ParseNetDataset
+        # the test split, dataset_segments_my.py:81-83). Absence is only
+        # tolerated for EVAL (zero placeholders on an eval-only machine);
+        # a TRAIN split without edge labels must fail loudly — silently
+        # zeroing the supervision would look like a model problem
         edge_path = os.path.join(prefix, "data", f"{split}_My_Edge.h5")
-        if os.path.exists(edge_path):
+        if os.path.exists(edge_path) or train:
             edges, edges_w = _h5_arrays(edge_path, ["label", "W"])
         else:
             edges = edges_w = None

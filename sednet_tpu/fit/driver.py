@@ -33,6 +33,7 @@ from sednet_tpu.fit.bspline import (basis_function_one,
 from sednet_tpu.fit.primitives import (fit_cone, fit_cylinder, fit_plane,
                                        fit_sphere)
 from sednet_tpu.models.splinenet import SplineNet
+from sednet_tpu.utils.chunked import chunked_sqdist_blocks
 
 EPS = 1e-8
 
@@ -51,14 +52,10 @@ def remove_outliers(points: np.ndarray, nb_neighbors: int = 20,
     companions (weights, normals) can be filtered consistently."""
     n = points.shape[0]
     k = min(nb_neighbors + 1, n)
-    p = points.astype(np.float32)
     mean_d = np.empty(n, np.float32)
-    # row-chunked qq - 2 q p^T + pp distance blocks: the naive (N, N, 3)
-    # broadcast materializes ~2.4 GB float64 for a 10k-point segment
-    pp = (p * p).sum(1)
-    for lo in range(0, n, 2048):
-        hi = min(lo + 2048, n)
-        d2 = pp[lo:hi, None] - 2.0 * (p[lo:hi] @ p.T) + pp[None, :]
+    # blocked distances: the naive (N, N, 3) broadcast materializes
+    # ~2.4 GB float64 for a 10k-point segment
+    for lo, hi, d2 in chunked_sqdist_blocks(points, points):
         nn = np.sort(d2, axis=1)[:, 1:k]
         mean_d[lo:hi] = np.sqrt(np.clip(nn, 0, None)).mean(1)
     keep = mean_d <= mean_d.mean() + std_ratio * mean_d.std()
@@ -77,9 +74,8 @@ def up_sample_points_in_range(points: np.ndarray, weights: np.ndarray,
     # [a_min, a_max] is still grown and re-cut; kept for output parity.
     rng = rng or np.random.RandomState(0)
     while points.shape[0] < a_max:
-        p = points.astype(np.float32)
-        pp = (p * p).sum(1)
-        d2 = pp[:, None] - 2.0 * (p @ p.T) + pp[None, :]
+        _, _, d2 = next(chunked_sqdist_blocks(points, points,
+                                              block=points.shape[0]))
         idx = np.argsort(d2, axis=1)[:, :5]
         centers = points[idx].mean(1)
         points = np.concatenate([points, centers])

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from sednet_tpu.utils.chunked import chunked_sqdist_blocks
+
 MAX_INSTANCES = 50
 
 
@@ -23,11 +25,8 @@ def three_nn_indices(points: np.ndarray) -> np.ndarray:
     k=3 the device offers no advantage over a blocked argpartition."""
     p = points[:, :3].astype(np.float32)
     n = p.shape[0]
-    pp = (p * p).sum(1)
     out = np.empty((n, 3), np.int64)
-    for lo in range(0, n, 2048):
-        hi = min(lo + 2048, n)
-        d2 = pp[lo:hi, None] - 2.0 * (p[lo:hi] @ p.T) + pp[None, :]
+    for lo, hi, d2 in chunked_sqdist_blocks(p, p):
         k = min(3, n)
         part = np.argpartition(d2, k - 1, axis=1)[:, :k]
         row = np.take_along_axis(d2, part, axis=1)
@@ -111,12 +110,10 @@ def face_adjacency(points: np.ndarray, insts: np.ndarray,
         other_idx = np.nonzero(~own)[0]
         if other_idx.size == 0:
             continue
-        po = points[own, :3].astype(np.float32)
-        pt = points[other_idx, :3].astype(np.float32)
+        po = points[own, :3]
+        pt = points[other_idx, :3]
         dmin = np.full(other_idx.shape[0], np.inf, np.float32)
-        for lo in range(0, po.shape[0], 1024):
-            blk = po[lo: lo + 1024]
-            d2 = ((pt[:, None, :] - blk[None, :, :]) ** 2).sum(-1).min(1)
-            dmin = np.minimum(dmin, d2)
+        for lo, hi, d2 in chunked_sqdist_blocks(pt, po):
+            dmin[lo:hi] = np.minimum(dmin[lo:hi], d2.min(1))
         mat[int(pid), int(insts[other_idx[np.argmin(dmin)]])] = True
     return mat

@@ -89,23 +89,26 @@ def make_tta_type_log_prob(model, cfg: Config, multi_vote: bool,
     deeper layers need rebuilding. Fold-drop votes operate on point subsets
     and rebuild everything, like the reference."""
     first_layer_idx = make_first_layer_idx(cfg)
-    folds = max(cfg.num_points // drop_num, 1)
 
     def base(params, x, idx1=None):
         return model.apply({"params": params}, x, idx1).type_log_prob
 
     def fold5(params, x):
-        """x: (B, N, C) -> summed fold-drop votes (B, N, classes). Fold
-        geometry follows the ACTUAL input length (datasets only subsample
-        to cfg.num_points in train mode); at N == cfg.num_points this is
-        exactly the reference's drop_num-sized folds."""
+        """x: (B, N, C) -> summed fold-drop votes (B, N, classes), using
+        the reference's geometry on the ACTUAL input length: floor(N /
+        drop_num) folds each dropping a contiguous drop_num-point window
+        (points past the last window are never dropped). Inputs shorter
+        than one window get no fold votes — the reference's folds=0
+        degenerate, not a zero-size forward."""
         n = x.shape[1]
-        drop = n // folds
+        folds = n // drop_num
+        if folds < 1:
+            return 0.0
         votes = None
         for i in range(folds):
             mask_idx = jnp.concatenate([
-                jnp.arange(0, i * drop),
-                jnp.arange((i + 1) * drop, n)])
+                jnp.arange(0, i * drop_num),
+                jnp.arange((i + 1) * drop_num, n)])
             lp = base(params, x[:, mask_idx])  # (B, keep, classes)
             if votes is None:
                 votes = jnp.zeros((x.shape[0], n, lp.shape[-1]), lp.dtype)

@@ -267,4 +267,16 @@ def test_predict_shapes_edgeless_model(rng):
     res = predict_shapes(model, params, params, batch, cfg2,
                          key=jax.random.PRNGKey(1))
     assert len(res) == 1
-    assert np.allclose(res[0]["edge_prob"], 0.0) or "edge_prob" not in res[0]
+    assert "edge_prob" not in res[0] or np.allclose(res[0]["edge_prob"], 0.0)
+
+
+def test_tta_fold5drop_short_input_no_crash(small_model, rng):
+    """Inputs shorter than one drop window get no fold votes instead of a
+    zero-size forward (regression: folds clamped to >=1 dropped ALL
+    points)."""
+    cfg, model, params = small_model
+    fn = make_tta_type_log_prob(model, cfg, False, True, drop_num=1000)
+    x = jnp.asarray(rng.randn(1, N, cfg.normals * 3 + 3).astype(np.float32))
+    lp = fn(params, x)
+    assert lp.shape[:2] == (1, N)
+    assert np.isfinite(np.asarray(lp)).all()
