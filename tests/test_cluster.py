@@ -185,3 +185,22 @@ def test_hpnet_process_concat_shapes(rng):
                         edge_logits=el, eig_k=4, key=jax.random.PRNGKey(0))
     assert out.shape == (n, 16 + 4 + 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_guard_mean_shift_caps_overlimit_labels():
+    """When retries cannot reduce the cluster count, the guard must clamp
+    labels under max_clusters instead of emitting ids that crash the
+    one-hot metric stack (regression: labels >= 50 -> IndexError)."""
+    rng = np.random.default_rng(0)
+    k, n, dim = 12, 480, 24
+    dirs = rng.standard_normal((k, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    emb = dirs[rng.integers(0, k, n)] + 0.01 * rng.standard_normal((n, dim))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    res = guard_mean_shift(jax.random.PRNGKey(0), jnp.asarray(
+        emb.astype(np.float32)), num_samples=n, quantile=0.015,
+        iterations=20, max_clusters=4, retry_factor=1.0 + 1e-6)
+    labels = np.asarray(res.labels)
+    assert int(res.num_clusters) <= 4
+    assert labels.max() < 4
+    assert labels.min() >= 0
