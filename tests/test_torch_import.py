@@ -44,7 +44,7 @@ def test_pth_file_with_module_prefix(rng, tmp_path):
 
     model, params, x = _init(rng)
     out_before = model.apply({"params": params}, x)
-    sd = {"module." + k: torch.from_numpy(np.ascontiguousarray(v))
+    sd = {"module." + k: torch.from_numpy(np.ascontiguousarray(v).copy())
           for k, v in flax_params_to_torch_state_dict(params).items()}
     # extra reference-only entries the importer must skip
     sd["module.encoder.bn4.weight"] = torch.zeros(256)
