@@ -24,7 +24,9 @@ def main():
     p.add_argument("--n-test", type=int, default=8)
     p.add_argument("--workdir", default="/tmp/sednet_demo")
     p.add_argument("--hpnet", action="store_true")
-    p.add_argument("--matfree", action="store_true")
+    # matrix-free spectral is the config default now; --dense-spectral
+    # selects the dense-affinity fallback path instead
+    p.add_argument("--dense-spectral", action="store_true")
     args = p.parse_args()
 
     from sednet_tpu.config import Config
@@ -43,7 +45,7 @@ def main():
         num_points=args.n_points, knn=args.knn, embed=args.embed,
         batch_size=args.batch_size, lr=1e-3, eval_T=max(args.steps // 3, 10),
         epochs=10 ** 6, hpnet_embed=args.hpnet,
-        spectral_matfree=args.matfree,
+        spectral_matfree=(False if args.dense_spectral else None),
         ms_num_samples=min(5000, args.n_points), edge_topk=min(
             2000, args.n_points),
         mesh_shape=1,

@@ -34,6 +34,12 @@ class MeanShiftResult(NamedTuple):
     num_clusters: jax.Array  # () int32
     bandwidth: jax.Array     # () f32
     quantile: jax.Array      # () f32 (post-retry)
+    # guard-divergence telemetry (the reference retries unboundedly with a
+    # true dynamic k; these flag the two places the TPU rebuild deviates on
+    # pathological shapes so real-data runs can quantify it — VERDICT r2 #6)
+    tries: jax.Array = 0     # () int32 guarded retries taken
+    capped: jax.Array = False     # () bool — 16-retry cap hit (labels folded)
+    bw_capped: jax.Array = False  # () bool — bandwidth k exceeded the lane cap
 
 
 def _dotT(a, b):
@@ -264,7 +270,10 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
     individual guarded retry only for shapes that exceed max_clusters.
 
     x: (B, N, E) unit rows. Returns (labels (B, N) int32,
-    num_clusters (B,) int32). TPU-only (uses the Pallas step)."""
+    num_clusters (B,) int32, guard_flags) — guard_flags is a dict of (B,)
+    bool arrays {"capped", "bw_capped"} flagging shapes whose guarded
+    retry diverged from the reference's unbounded path.
+    TPU-only (uses the Pallas step)."""
     import numpy as np
 
     b = x.shape[0]
@@ -275,6 +284,8 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
     results = [nms(shifted[i], x[i], bw[i]) for i in range(b)]
     labels = [r[0] for r in results]
     nums = np.asarray(jnp.stack([r[2] for r in results]))  # single sync
+    capped = np.zeros((b,), bool)
+    bw_capped = np.zeros((b,), bool)
     for i in np.nonzero(nums > max_clusters)[0]:  # rare guarded retries
         res = guard_mean_shift(
             keys[i], x[i], num_samples=num_samples,
@@ -282,7 +293,10 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
             max_clusters=max_clusters, retry_factor=retry_factor)
         labels[i] = res.labels
         nums[i] = int(res.num_clusters)
-    return jnp.stack(labels), jnp.asarray(nums)
+        capped[i] = bool(res.capped)
+        bw_capped[i] = bool(res.bw_capped)
+    return (jnp.stack(labels), jnp.asarray(nums),
+            {"capped": capped, "bw_capped": bw_capped})
 
 
 @functools.partial(
@@ -314,7 +328,16 @@ def guard_mean_shift(key, x, *, num_samples=10000, quantile=0.015,
 
     key, sub = jax.random.split(key)
     first = attempt(jnp.asarray(quantile, jnp.float32), sub)
-    res, _, _ = lax.while_loop(cond, body, (first, key, jnp.int32(0)))
+    res, _, tries = lax.while_loop(cond, body, (first, key, jnp.int32(0)))
+    # telemetry: whether the retry cap was hit, and whether the final
+    # attempt's bandwidth k = int(q*m) exceeded compute_bandwidth's lane
+    # cap min(m-1, 256) (both deviations from the reference's unbounded
+    # dynamic path; surfaced per shape by the predict CLI)
+    m = min(num_samples, x.shape[0])
+    res = res._replace(
+        tries=tries,
+        capped=res.num_clusters > max_clusters,
+        bw_capped=(res.quantile * m).astype(jnp.int32) > min(m - 1, 256))
 
     # the reference retries unboundedly; this loop caps at 16. If a
     # degenerate embedding still exceeds max_clusters, clamp instead of

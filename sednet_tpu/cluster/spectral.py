@@ -33,16 +33,19 @@ def _round_up(x, m):
 @functools.partial(jax.jit, static_argnames=("k", "nearest"))
 def _neighbor_idx(xyz: jax.Array, k: int, nearest: bool) -> jax.Array:
     """(N, 3) -> (N, k) neighbour indices (farthest by default — see module
-    docstring). Uses the fused Pallas top-k on TPU (no N x N in HBM)."""
+    docstring). Uses the fused Pallas top-k on TPU; elsewhere a row-blocked
+    streaming top-k — neither path materializes N x N in HBM (the dense
+    matrix is 400 MB at the reference's N=10k)."""
     from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
+    from sednet_tpu.ops.knn import _blocked_topk_neighbors
 
     n = xyz.shape[0]
     if (jax.default_backend() == "tpu"
             and pallas_topk_supported(n, xyz.shape[1], k)):
         return topk_pallas(xyz, xyz, k, largest=not nearest)
-    d = pairwise_sqdist(xyz, xyz)
-    _, idx = lax.top_k(-d if nearest else d, k)
-    return idx
+    sign = 1.0 if nearest else -1.0
+    return _blocked_topk_neighbors(
+        xyz, lambda q, p: sign * pairwise_sqdist(q, p), k, 512)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sigma", "nearest"))
@@ -125,15 +128,18 @@ def spectral_eigvecs(affinity: jax.Array, key: jax.Array, k: int = 12,
 @functools.partial(jax.jit, static_argnames=("k", "sigma", "nearest"))
 def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
                            sigma: float = 0.1, k: int = 50,
-                           nearest: bool = False):
+                           nearest: bool = False, idx: jax.Array | None = None):
     """Sparse form of normal_affinity_topk: returns (idx (N,k), vals (N,k),
     rsqrt_deg (N,)) such that A = D^-1/2 W D^-1/2 with W the scatter of
     vals at (row, idx). The symmetrized operator (A + A^T)/clamp(M + M^T)
     of the dense path equals (A + A^T)/2 exactly: the dense mask is taken
     after the reference's 1e-12 background fill, so the clamp is a
-    constant 2 (see normal_affinity_topk)."""
+    constant 2 (see normal_affinity_topk). Pass a precomputed `idx` (N, k)
+    to skip the neighbour search (batched callers dispatch the Pallas
+    top-k per shape, then vmap the rest)."""
     n = xyz.shape[0]
-    idx = _neighbor_idx(xyz, k, nearest)
+    if idx is None:
+        idx = _neighbor_idx(xyz, k, nearest)
     n_sub = normals[idx]
     cos = jnp.clip(jnp.einsum("nc,nkc->nk", normals, n_sub), -0.99, 0.99)
     w = jnp.exp(-jnp.arccos(cos) ** 2 / (2.0 * sigma * sigma))
@@ -146,7 +152,8 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
 def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                              key: jax.Array, *, sigma: float = 0.1,
                              knn: int = 50, k: int = 12,
-                             iters: int = 10) -> jax.Array:
+                             iters: int = 10,
+                             idx: jax.Array | None = None) -> jax.Array:
     """Matrix-free LOBPCG on the symmetrized normalized affinity: never
     materializes the N x N matrix (the N-axis "long-context" plan of
     SURVEY §5). The matvec uses one gather (A v) and one scatter (A^T v)
@@ -154,7 +161,8 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
     from jax.experimental.sparse.linalg import lobpcg_standard
 
     n = xyz.shape[0]
-    idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn)
+    idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn,
+                                         idx=idx)
     rows = jnp.broadcast_to(jnp.arange(n)[:, None], idx.shape)
 
     def matvec(v):  # v: (N, m)
@@ -221,3 +229,20 @@ def hpnet_process(
         weights.append(0.25 - compute_entropy(t))
 
     return jnp.concatenate([p * w for p, w in zip(parts, weights)], axis=-1)
+
+
+def hpnet_enrich(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
+                 key: jax.Array, *, normal_smooth_w: float = 0.5,
+                 sigma: float = 0.1, knn: int = 50, eig_k: int = 12,
+                 iters: int = 10, idx: jax.Array | None = None) -> jax.Array:
+    """Single-shape hpnet_process (embedding + eigvecs only, the predict-CLI
+    call shape, generate_predictions_aug.py:371-377) as one pure in-graph
+    function: matrix-free spectral + entropy weighting + L2 normalization.
+    Fully vmappable/shardable — the batched predict path vmaps this across
+    the shape axis (reference loops shapes one at a time)."""
+    v = spectral_eigvecs_matfree(xyz, normals, key, sigma=sigma, knn=knn,
+                                 k=eig_k, iters=iters, idx=idx)
+    e = jnp.concatenate([emb * (1.7 - compute_entropy(emb)),
+                         v * (normal_smooth_w - compute_entropy(v))], -1)
+    return e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                        min=1e-12)

@@ -78,7 +78,15 @@ class Config:
     spectral_sigma: float = 0.1
     spectral_knn: int = 50
     spectral_eigvecs: int = 12
-    spectral_matfree: bool = False  # matrix-free LOBPCG (no NxN affinity)
+    spectral_matfree: Optional[bool] = None  # matrix-free LOBPCG.
+    # None = auto: dense affinity up to spectral_dense_max_n points,
+    # matrix-free beyond. MEASURED on a v5e (round 3): the matfree matvec
+    # is scatter-add-bound on TPU — 23.9 s/solve at N=2048 vs 0.05 s for
+    # the dense MXU matmul path (478x); the dense 400 MB N=10k affinity is
+    # a cheap transient on a 16 GB chip. Matfree is exact for the same
+    # operator (test_matfree_matvec_matches_dense) and remains the
+    # out-of-HBM escape hatch (N > dense cap, sharded enrichment).
+    spectral_dense_max_n: int = 16384
     fused_encoder: bool = False  # index-free fused edge-conv inference
     # encoder (ops.fused_edgeconv): no kNN index/gather materialization;
     # exact on CPU, ~7e-3 rad embedding drift on TPU (bf16 matmul fp-order
@@ -110,6 +118,9 @@ def _coerce(value: str, target_type):
         return float(value)
     if target_type == Optional[int]:
         return None if value.lower() in ("none", "") else int(value)
+    if target_type == Optional[bool]:
+        return (None if value.lower() in ("none", "")
+                else _BOOL[value.lower()])
     return value
 
 

@@ -231,14 +231,41 @@ class CheckpointManager:
         return self._ckpt.restore(os.path.join(self.root, name))
 
 
+def save_params_npz(path: str, params) -> None:
+    """Flatten a param pytree into one .npz ("a/b/c" keys) — a portable,
+    versionable single-file checkpoint (the bench's trained-weights
+    artifact)."""
+    flat = {}
+
+    def walk(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
 def load_params(path: str):
-    """Load a checkpoint: orbax directory, or a reference torch .pth
-    (converted through utils.torch_import — released SED-Net weights load
-    directly)."""
+    """Load a checkpoint: orbax directory, a flat .npz (save_params_npz),
+    or a reference torch .pth (converted through utils.torch_import —
+    released SED-Net weights load directly)."""
     if path.endswith((".pth", ".pt")):
         from sednet_tpu.utils.torch_import import load_torch_checkpoint
 
         return load_torch_checkpoint(path)
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        tree: dict = {}
+        for key in flat.files:
+            node = tree
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = jnp.asarray(flat[key])
+        return tree
     import orbax.checkpoint as ocp
 
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))

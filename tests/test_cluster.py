@@ -204,3 +204,99 @@ def test_guard_mean_shift_caps_overlimit_labels():
     assert int(res.num_clusters) <= 4
     assert labels.max() < 4
     assert labels.min() >= 0
+
+
+def test_guard_mean_shift_reports_cap_telemetry():
+    """The 16-retry fold and the bandwidth lane cap deviate from the
+    reference's unbounded retry (generate_predictions_aug.py:25-35); the
+    result must FLAG when either bound actually bound so predict can count
+    affected shapes (VERDICT r2 weak #6)."""
+    rng = np.random.default_rng(0)
+    k, n, dim = 12, 480, 24
+    dirs = rng.standard_normal((k, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    emb = dirs[rng.integers(0, k, n)] + 0.01 * rng.standard_normal((n, dim))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    # retry_factor ~1 cannot shrink the count -> cap fires
+    res = guard_mean_shift(jax.random.PRNGKey(0), jnp.asarray(
+        emb.astype(np.float32)), num_samples=n, quantile=0.015,
+        iterations=20, max_clusters=4, retry_factor=1.0 + 1e-6)
+    assert bool(res.capped)
+    assert int(res.tries) == 16
+    # a healthy embedding reports no divergence
+    x, _ = _sphere_clusters(np.random.RandomState(1), 4, 100)
+    ok = guard_mean_shift(jax.random.PRNGKey(1), x, num_samples=400,
+                          quantile=0.05, iterations=30, max_clusters=10)
+    assert not bool(ok.capped)
+    assert not bool(ok.bw_capped)
+    assert int(ok.tries) == 0
+
+
+def test_predict_surfaces_guard_counters(rng):
+    """predict_shapes/run_prediction must carry the guard flags through to
+    per-shape results and the summary."""
+    from sednet_tpu.config import Config
+    from sednet_tpu.models import SEDNet
+    from sednet_tpu.predict import predict_shapes
+    from sednet_tpu.data import make_synthetic_shape
+
+    n = 100
+    cfg = Config(num_points=n, knn=4, embed=16, hpnet_embed=False,
+                 ms_num_samples=n, edge_topk=16)
+    model = SEDNet(mode=5, k=4)
+    items = []
+    for _ in range(2):
+        d = make_synthetic_shape(rng, n_points=n, n_segments=3)
+        items.append(d)
+    batch = {k: np.stack([i[k] for i in items]).astype(
+        np.float32 if k in ("points", "normals") else np.int64)
+        for k in ("points", "normals", "labels", "prim")}
+    x = jnp.asarray(np.concatenate(
+        [batch["points"], batch["normals"]], -1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
+    res = predict_shapes(model, params, params, batch, cfg,
+                         key=jax.random.PRNGKey(0))
+    for r in res:
+        assert "guard_capped" in r and "guard_bw_capped" in r
+        assert isinstance(r["guard_capped"], bool)
+
+
+def test_hpnet_enrich_matches_process_composition(rng):
+    """hpnet_enrich == normalize(hpnet_process(emb, cached_eigvecs=matfree
+    eigvecs)) for the embedding+eigvecs call shape — the batched predict
+    path must not drift from the per-shape one."""
+    from sednet_tpu.cluster.spectral import (hpnet_enrich,
+                                             spectral_eigvecs_matfree)
+
+    n = 120
+    xyz = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+    nrm = rng.randn(n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = jnp.asarray(nrm)
+    emb = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    e1 = hpnet_enrich(emb, xyz, nrm, key, knn=10, eig_k=4)
+    v = spectral_eigvecs_matfree(xyz, nrm, key, knn=10, k=4)
+    e2 = hpnet_process(emb, xyz, nrm, cached_eigvecs=v)
+    e2 = e2 / jnp.clip(jnp.linalg.norm(e2, axis=-1, keepdims=True),
+                       min=1e-12)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+
+def test_neighbor_idx_blocked_matches_dense(rng):
+    """The blocked CPU fallback of _neighbor_idx must select the same
+    neighbour SETS as a dense argsort, both farthest (reference quirk) and
+    nearest modes."""
+    from sednet_tpu.cluster.spectral import _neighbor_idx
+
+    n, k = 200, 8
+    xyz = rng.randn(n, 3).astype(np.float32)
+    d = ((xyz[:, None] - xyz[None]) ** 2).sum(-1)
+    for nearest in (True, False):
+        idx = np.asarray(_neighbor_idx(jnp.asarray(xyz), k, nearest))
+        order = np.argsort(d, axis=1)
+        want = order[:, :k] if nearest else order[:, ::-1][:, :k]
+        for i in range(n):
+            got_d = np.sort(d[i, idx[i]])
+            want_d = np.sort(d[i, want[i]])
+            np.testing.assert_allclose(got_d, want_d, atol=1e-5)

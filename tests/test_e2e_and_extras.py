@@ -124,3 +124,63 @@ def test_tessellate_points():
 
     g = grid_pointclouds([pts, pts, pts], cols=2)
     assert g.shape == (36, 3)
+
+
+def test_splinenet_eval_cli_roundtrip(tmp_path):
+    """Train -> saved checkpoint -> standalone eval subcommand (reference:
+    splinenet/test_open_splines.py protocol): the eval must load the ckpt
+    the trainer wrote and report finite reg/cd/lap means; save-meshes dumps
+    the per-shape artifacts."""
+    from sednet_tpu.splinenet_train import (eval_splinenet, main,
+                                            train_splinenet, write_spline_h5)
+
+    path = str(tmp_path / "splines.h5")
+    write_spline_h5(path, n_patches=6, n_points=120, grid=5)
+    train_splinenet(data_path=path, grid=5, k=4, batch_size=2, steps=6,
+                    eval_every=6, run_dir=str(tmp_path / "run"))
+    out_dir = str(tmp_path / "evalout")
+    res = eval_splinenet(ckpt=str(tmp_path / "run" / "open"),
+                         data_path=path, grid=5, k=4, batch_size=2,
+                         num_points=120, out_dir=out_dir, save_meshes=True)
+    assert np.isfinite(res["test_cd"]) and np.isfinite(res["test_reg"])
+    assert os.path.exists(os.path.join(out_dir, "pred_0.obj"))
+    assert os.path.exists(os.path.join(out_dir, "gt_points_0.txt"))
+    # CLI wiring: the eval subcommand parses and runs end to end
+    main(["eval", "open", "--ckpt", str(tmp_path / "run" / "open"),
+          "--data", path, "--grid", "5", "--k", "4", "--batch-size", "2",
+          "--num-points", "120"])
+
+
+def test_splinenet_dump_predictions(tmp_path):
+    """The dump subcommand mirrors splinenet/generate_predictions.py:
+    predictions.h5 with {seg_id, prim} stacked over test shapes."""
+    import h5py
+    import json
+
+    from sednet_tpu.config import Config
+    from sednet_tpu.data import write_parsenet_h5
+    from sednet_tpu.models import SEDNet
+    from sednet_tpu.splinenet_train import dump_predictions
+    from sednet_tpu.train import build_model
+
+    root = str(tmp_path)
+    n = 100
+    write_parsenet_h5(root, n_shapes=3, n_points=n)
+    cfg = Config(num_points=n, knn=4, embed=16, hpnet_embed=False,
+                 ms_num_samples=n, edge_topk=16, num_test=3)
+    model = build_model(cfg)
+    x = jnp.zeros((1, n, 6), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    import orbax.checkpoint as ocp
+
+    ckpt = str(tmp_path / "ckpt")
+    ocp.PyTreeCheckpointer().save(ckpt, jax.device_get(params), force=True)
+    cfg.pretrain_model_path = ckpt
+    cfg.pretrain_model_type_path = ckpt
+    cfg_path = str(tmp_path / "cfg.json")
+    cfg.save(cfg_path)
+    out = str(tmp_path / "pred" / "predictions.h5")
+    dump_predictions(cfg_path, data_root=root, out_path=out)
+    with h5py.File(out) as hf:
+        assert hf["seg_id"].shape == (3, n)
+        assert hf["prim"].shape == (3, n)
