@@ -101,19 +101,31 @@ def _fold_tile(best_v, best_i, tile_v, tile_i):
     return m_v, m_i
 
 
-def _dist_tile(q_t, p_tile, qq, metric: str, w: float):
-    """(RB, W) distance tile. q_t (D, RB), p_tile (D, W)."""
+def _dist_tile(q_blk, p_tile, qq, metric: str, w: float):
+    """(RB, W) distance tile. q_blk (RB, D) NATURAL layout (no host
+    transpose of the queries; the matmul is the MXU-native
+    (RB, D) @ (D, W) form), p_tile (D, W) transposed-resident.
+
+    For the points_normals metric the position/normal channel splits are
+    LANE slices of q_blk; Mosaic dislikes unaligned lane slices, so the
+    split rides as elementwise masks into full-D matmuls instead (the
+    masked lanes contribute exact zeros; D is <= 8 padded so the matmul
+    cost is unchanged)."""
     if metric == "sqdist":
-        s = lax.dot_general(q_t, p_tile, (((0,), (0,)), ((), ())),
+        s = lax.dot_general(q_blk, p_tile, (((1,), (0,)), ((), ())),
                             precision=lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
         pp = jnp.sum(p_tile * p_tile, axis=0, keepdims=True)  # (1, W)
         return qq + pp - 2.0 * s
     # points+normals product metric (reference: src/PointNet.py:106-128)
-    s3 = lax.dot_general(q_t[:3], p_tile[:3], (((0,), (0,)), ((), ())),
+    d = q_blk.shape[1]
+    ch = lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    q3 = jnp.where(ch < 3, q_blk, 0.0)
+    qn = jnp.where((ch >= 3) & (ch < 6), q_blk, 0.0)
+    s3 = lax.dot_general(q3, p_tile, (((1,), (0,)), ((), ())),
                          precision=lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
-    sn = lax.dot_general(q_t[3:6], p_tile[3:6], (((0,), (0,)), ((), ())),
+    sn = lax.dot_general(qn, p_tile, (((1,), (0,)), ((), ())),
                          precision=lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
     pp = jnp.sum(p_tile[:3] * p_tile[:3], axis=0, keepdims=True)
@@ -123,7 +135,8 @@ def _dist_tile(q_t, p_tile, qq, metric: str, w: float):
 
 
 def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
-                 largest: bool = False, k_lane: int = W - 1):
+                 largest: bool = False, k_lane: int = W - 1,
+                 halves: int = 1):
     """k_lane = k - 1: a tile whose every distance is >= every row's current
     (k_lane+1)-th best provably contains no top-k element, so its whole
     sort+merge (the dominant VPU work) is skipped with a lax.cond. Tiles
@@ -132,43 +145,66 @@ def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
     first few tiles — ~68% of tiles skip on spatially sorted CAD clouds vs
     ~50% with in-order streaming. Correctness never depends on the ordering
     (lanes past k_lane may go stale, so callers must not read them —
-    topk_pallas slices [:k])."""
+    topk_pallas slices [:k]).
+
+    halves > 1 streams SUPER-tiles of halves*W columns: ONE bigger
+    distance matmul per loop iteration (fewer loop/issue stalls, better
+    MXU shape), then gates the fold PER 128-lane half — fold work stays
+    identical, loop overhead divides by `halves`.
+
+    (Round-3 attempt, reverted: feeding the locality permutation in as a
+    resident per-column id vector — so the kernel emits ORIGINAL ids and
+    the host-side perm[idx] remap gather disappears — fails Mosaic
+    legalization: a dynamic (1, W) lane-slice of the (1, N) id vector
+    carries a vpad "{*,128}" layout that neither broadcast_in_dim nor an
+    implicit binary-op broadcast can expand to (RB, W) ("Invalid input
+    layout"). See ROADMAP round-3 kNN notes for the full call-level cost
+    decomposition this was meant to attack.)"""
 
     def kernel(q_ref, p_ref, iv_ref, ii_ref):
-        q_t = q_ref[:]                                    # (D, RB)
+        q_blk = q_ref[:]                                  # (RB, D) natural
         if metric == "sqdist":
-            qq = jnp.sum(q_t * q_t, axis=0)[:, None]      # (RB, 1)
+            qq = jnp.sum(q_blk * q_blk, axis=1, keepdims=True)  # (RB, 1)
         else:
-            qq = jnp.sum(q_t[:3] * q_t[:3], axis=0)[:, None]
-        rb = q_t.shape[1]
+            ch = lax.broadcasted_iota(jnp.int32, (1, q_blk.shape[1]), 1)
+            q3 = jnp.where(ch < 3, q_blk, 0.0)
+            qq = jnp.sum(q3 * q3, axis=1, keepdims=True)
+        rb = q_blk.shape[0]
         lane = _lane_iota()
+        cw = W * halves                                    # super-tile cols
+        n_super = n_tiles // halves
         # first tile = the block's own region on the locality curve (the
         # row-block grid axis is axis 0 as authored; vmap's batching rule
         # renumbers program_id when it prepends the batch axis)
-        diag = jnp.minimum(pl.program_id(0) * (rb // W), n_tiles - 1)
+        diag = jnp.minimum(pl.program_id(0) * (rb // W) // halves,
+                           n_super - 1)
 
         def body(j, carry):
-            best_v, best_i = carry
-            j_eff = lax.rem(diag + j, n_tiles)
-            col0 = pl.multiple_of(j_eff * W, W)
-            p_tile = p_ref[:, pl.ds(col0, W)]
-            d = _dist_tile(q_t, p_tile, qq, metric, w)
+            j_eff = lax.rem(diag + j, n_super)
+            col0 = pl.multiple_of(j_eff * cw, cw)
+            p_tile = p_ref[:, pl.ds(col0, cw)]
+            d_all = _dist_tile(q_blk, p_tile, qq, metric, w)  # (RB, cw)
             if largest:
-                d = -d  # select the k FARTHEST (spectral quirk support)
-            col = lane + col0                              # (1, W)
-            d = jnp.where(col < n_valid, d, _INF)
-            tile_i = jnp.broadcast_to(col, (rb, W))
-            thresh = best_v[:, k_lane:k_lane + 1]          # (RB, 1)
-            any_hit = jnp.any(jnp.min(d, axis=1, keepdims=True) < thresh)
-            return lax.cond(
-                any_hit,
-                lambda c: _fold_tile(c[0], c[1], d, tile_i),
-                lambda c: c,
-                carry)
+                d_all = -d_all  # select the k FARTHEST (spectral quirk)
+            for h in range(halves):
+                best_v, best_i = carry
+                d = d_all[:, h * W:(h + 1) * W]
+                col = lane + col0 + h * W                   # (1, W)
+                d = jnp.where(col < n_valid, d, _INF)
+                tile_i = jnp.broadcast_to(col, (rb, W))
+                thresh = best_v[:, k_lane:k_lane + 1]       # (RB, 1)
+                any_hit = jnp.any(
+                    jnp.min(d, axis=1, keepdims=True) < thresh)
+                carry = lax.cond(
+                    any_hit,
+                    lambda c, dd=d, ti=tile_i: _fold_tile(c[0], c[1], dd, ti),
+                    lambda c: c,
+                    carry)
+            return carry
 
         init = (jnp.full((rb, W), _INF, jnp.float32),
                 jnp.zeros((rb, W), jnp.int32))
-        best_v, best_i = lax.fori_loop(0, n_tiles, body, init)
+        best_v, best_i = lax.fori_loop(0, n_super, body, init)
         iv_ref[:] = best_v
         ii_ref[:] = best_i
 
@@ -211,12 +247,13 @@ def _locality_order(x: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=("k", "metric", "normal_metric_w", "row_block",
                      "interpret", "return_distances", "largest",
-                     "spatial_sort"))
+                     "spatial_sort", "col_halves"))
 def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
                 metric: str = "sqdist", normal_metric_w: float = 1.0,
                 row_block: int = 256, interpret: bool = False,
                 return_distances: bool = False, largest: bool = False,
-                spatial_sort: bool | None = None):
+                spatial_sort: bool | None = None,
+                col_halves: int = 2):
     """Exact k-nearest rows of p for every row of q, nearest first
     (largest=True selects the k FARTHEST instead — the spectral
     enrichment's reference quirk, smooth_normal_matrix.py:33-39).
@@ -240,7 +277,8 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
             topk_pallas, k=k, metric=metric,
             normal_metric_w=normal_metric_w, row_block=row_block,
             interpret=interpret, return_distances=return_distances,
-            largest=largest, spatial_sort=spatial_sort)
+            largest=largest, spatial_sort=spatial_sort,
+            col_halves=col_halves)
         # p may be a single shared point set for batched queries
         pb = (lambda b: p) if p.ndim == 2 else (lambda b: p[b])
         outs = [f(q[b], pb(b)) for b in range(q.shape[0])]
@@ -272,7 +310,8 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
                             normal_metric_w=normal_metric_w,
                             row_block=row_block, interpret=interpret,
                             return_distances=return_distances,
-                            largest=largest, spatial_sort=False)
+                            largest=largest, spatial_sort=False,
+                            col_halves=col_halves)
         inv_q = jnp.argsort(perm_q)
         if return_distances:
             idx_s, dist_s = idx_s
@@ -282,23 +321,25 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     m, dim = q.shape
     n = p.shape[0]
     d_pad = _round_up(dim, 8)
-    n_cols = _round_up(n, W)
-    # the row block is the LANE dim of the transposed q block -> must be a
-    # multiple of 128 (Mosaic BlockSpec constraint)
+    n_cols = _round_up(n, W * col_halves)
+    # queries stay in NATURAL (N, D) layout — no host-side relayout; the
+    # distance matmul is then the MXU-native (RB, D) @ (D, W) form. Only
+    # the resident point set is transposed once. (Round-3 measurement:
+    # the q transpose + relayout was ~17% of the end-to-end call.)
     rb = max(_round_up(min(row_block, m), 128), 256)
     n_rows = _round_up(m, rb)
-    q_t = jnp.pad(q.astype(jnp.float32).T,
-                  ((0, d_pad - dim), (0, n_rows - m)))
+    q_pad = jnp.pad(q.astype(jnp.float32),
+                    ((0, n_rows - m), (0, d_pad - dim)))
     p_t = jnp.pad(p.astype(jnp.float32).T,
                   ((0, d_pad - dim), (0, n_cols - n)))
 
     kernel = _make_kernel(n, n_cols // W, metric, normal_metric_w, largest,
-                          k_lane=k - 1)
+                          k_lane=k - 1, halves=col_halves)
     dist, idx = pl.pallas_call(
         kernel,
         grid=(n_rows // rb,),
         in_specs=[
-            pl.BlockSpec((d_pad, rb), lambda i: (0, i),
+            pl.BlockSpec((rb, d_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, n_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -314,7 +355,7 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
             jax.ShapeDtypeStruct((n_rows, W), jnp.int32),
         ),
         interpret=interpret,
-    )(q_t, p_t)
+    )(q_pad, p_t)
     if return_distances:
         d = dist[:m, :k]
         return idx[:m, :k], (-d if largest else d)

@@ -95,12 +95,14 @@ def _make_fused_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
     track_tiles = n_tiles <= W
 
     def kernel(q_ref, p_ref, a_ref, mx_ref, sm_ref, sq_ref, cnt_ref):
-        q_t = q_ref[:]                                    # (D, RB)
+        q_blk = q_ref[:]                                  # (RB, D) natural
         if metric == "sqdist":
-            qq = jnp.sum(q_t * q_t, axis=0)[:, None]      # (RB, 1)
+            qq = jnp.sum(q_blk * q_blk, axis=1, keepdims=True)  # (RB, 1)
         else:
-            qq = jnp.sum(q_t[:3] * q_t[:3], axis=0)[:, None]
-        rb = q_t.shape[1]
+            ch = lax.broadcasted_iota(jnp.int32, (1, q_blk.shape[1]), 1)
+            q3 = jnp.where(ch < 3, q_blk, 0.0)
+            qq = jnp.sum(q3 * q3, axis=1, keepdims=True)
+        rb = q_blk.shape[0]
         cp = a_ref.shape[1]
         lane = _lane_iota()
         diag = jnp.minimum(pl.program_id(0) * (rb // W), n_tiles - 1)
@@ -109,7 +111,7 @@ def _make_fused_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
             j_eff = lax.rem(diag + j, n_tiles)
             col0 = pl.multiple_of(j_eff * W, W)
             p_tile = p_ref[:, pl.ds(col0, W)]
-            d = _dist_tile(q_t, p_tile, qq, metric, w)
+            d = _dist_tile(q_blk, p_tile, qq, metric, w)
             col = lane + col0                              # (1, W)
             d = jnp.where(col < n_valid, d, _INF)
             return d, j_eff, col0, col
@@ -241,8 +243,10 @@ def fused_edge_reductions(geom: jax.Array, a: jax.Array, k: int, *,
     n_cols = _round_up(n, W)
     rb = max(_round_up(min(row_block, n), 128), 256)
     n_rows = _round_up(n, rb)
-    g_t = jnp.pad(geom.astype(jnp.float32).T,
-                  ((0, d_pad - dim), (0, n_rows - n)))
+    # queries natural (N, D) — no relayout (see flash_topk.topk_pallas);
+    # only the resident point set is transposed once
+    g_pad = jnp.pad(geom.astype(jnp.float32),
+                    ((0, n_rows - n), (0, d_pad - dim)))
     p_t = jnp.pad(geom.astype(jnp.float32).T,
                   ((0, d_pad - dim), (0, n_cols - n)))
     a_p = jnp.pad(a.astype(jnp.float32), ((0, n_cols - n), (0, c_pad - c)))
@@ -253,7 +257,7 @@ def fused_edge_reductions(geom: jax.Array, a: jax.Array, k: int, *,
         kernel,
         grid=(n_rows // rb,),
         in_specs=[
-            pl.BlockSpec((d_pad, rb), lambda i: (0, i),
+            pl.BlockSpec((rb, d_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d_pad, n_cols), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,7 +275,7 @@ def fused_edge_reductions(geom: jax.Array, a: jax.Array, k: int, *,
             jax.ShapeDtypeStruct((n_rows, W), jnp.float32),
         ),
         interpret=interpret,
-    )(g_t, p_t, a_p)
+    )(g_pad, p_t, a_p)
     return mx[:n, :c], sm[:n, :c], sq[:n, :c], cnt[:n, 0]
 
 
