@@ -107,17 +107,22 @@ def make_synthetic_shape(rng, n_points: int = 10000, n_segments: int | None = No
     prim = np.concatenate(prim)
 
     # boundary edges: points whose nearest other-instance point is close;
-    # threshold adapts so that sparse fixtures still carry edge supervision
+    # threshold adapts so that sparse fixtures still carry edge supervision.
+    # Chunked |a|^2+|b|^2-2ab form: the naive (own, other, 3) broadcast
+    # allocates O(N^2) * 3 floats (4.5 GB/segment at 64k points).
     min_other = np.full(n_points, np.inf, np.float32)
     for i in range(k):
-        own = labels == i
-        other = ~own
-        if own.sum() == 0 or other.sum() == 0:
+        own = np.nonzero(labels == i)[0]
+        other = points[labels != i][::3].astype(np.float32)
+        if own.size == 0 or other.shape[0] == 0:
             continue
-        d = np.sqrt(
-            ((points[own][:, None, :] - points[other][None, ::3, :]) ** 2).sum(-1)
-        ).min(1)
-        min_other[own] = d
+        osq = (other ** 2).sum(1)
+        for c0 in range(0, own.size, 4096):
+            a = points[own[c0:c0 + 4096]]
+            d2 = ((a ** 2).sum(1)[:, None] + osq[None, :]
+                  - 2.0 * (a @ other.T))
+            min_other[own[c0:c0 + 4096]] = np.sqrt(
+                np.clip(d2.min(1), 0.0, None))
     thresh = max(edge_radius, float(np.percentile(min_other, 8)))
     edges = (min_other < thresh).astype(np.int32)
     edges_w = np.ones(n_points, np.float32)

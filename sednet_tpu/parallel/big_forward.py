@@ -1,0 +1,175 @@
+"""Point-axis-sharded SEDNet forward: one cloud bigger than a chip.
+
+The reference caps every cloud at 10k points (generate_predictions_aug.py:62)
+because all its N^2 tensors live on one GPU. This module runs the FULL
+SEDNet forward + clustering on a single cloud whose point axis is sharded
+over the device mesh — the one capability story the reference cannot tell:
+
+  * the three kNN graph builds use parallel.intra_shape.ring_knn
+    (shard_map + ppermute: the N x N distance matrix never exists);
+  * the network math is plain jnp on N-sharded arrays under jit — XLA's
+    GSPMD partitioner inserts the collectives (all-gather for the
+    neighbour gathers, all-reduce for the GroupNorm statistics and the
+    global max pool) exactly as the scaling-book recipe prescribes;
+  * mean-shift iterations run row-sharded
+    (parallel.intra_shape.mean_shift_iterate_sharded); bandwidth is
+    estimated on a <=5k subsample; NMS runs on the gathered shifted
+    points through the blocked cluster.nms (no N x N in HBM either).
+
+The forward reuses the EXACT SEDNet parameter tree — same Dense kernels,
+same GroupNorm scale/bias, same head wiring (models/sednet.py, reference
+src/SEDNet.py:216-343) — re-expressed functionally because flax compact
+modules cannot accept externally computed per-layer neighbour indices.
+Exactness vs model.apply is pinned by tests/test_intra_shape.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sednet_tpu.parallel.intra_shape import _ring_knn_jit
+from sednet_tpu.parallel.mesh import DATA_AXIS
+
+
+def _dense(p, x):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _group_norm(p, x, groups: int, eps: float = 1e-6):
+    """flax.linen.GroupNorm semantics for a SINGLE shape (the flax modules
+    see (B=1, N, ..., C) and reduce over every non-batch axis within each
+    channel group; here the batch axis is dropped, so stats span all of
+    x's axes but the last, plus C/groups channels)."""
+    c = x.shape[-1]
+    xg = x.reshape(x.shape[:-1] + (groups, c // groups))
+    red = tuple(range(xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = jnp.mean(xg, axis=red, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=red, keepdims=True)
+    xn = ((xg - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+    return xn * p["scale"] + p["bias"]
+
+
+def _edge_conv(p, x, idx, groups: int, slope: float = 0.2):
+    """EdgeConv on a single (N, C) cloud with (N, K) global neighbour
+    indices — the factored conv-through-gather of ops.graph
+    (edge_conv_features), batchless. x may be N-sharded; the x[idx] gather
+    becomes an XLA all-gather under GSPMD."""
+    w = p["conv"]["kernel"]                    # (2C, C_out)
+    c = x.shape[-1]
+    w_top, w_bot = w[:c], w[c:]
+    a = x @ w_top                              # (N, C_out)
+    b = x @ (w_bot - w_top)
+    f = a[idx] + b[:, None, :]                 # (N, K, C_out)
+    f = _group_norm(p["gn"], f, groups)
+    f = jnp.where(f >= 0, f, slope * f)
+    return jnp.max(f, axis=1)                  # (N, C_out)
+
+
+class BigForwardOutput(NamedTuple):
+    embedding: jax.Array       # (N, emb)
+    type_log_prob: jax.Array   # (N, P)
+    edge_logits: jax.Array     # (N, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "mode", "normal_metric_w", "w_pos_enc"))
+def big_sednet_forward(params, x: jax.Array, mesh: Mesh, *, k: int = 64,
+                       mode: int = 5, normal_metric_w: float = 1.0,
+                       w_pos_enc: float = 0.2) -> BigForwardOutput:
+    """Full SEDNet forward on ONE (N, C) cloud, N sharded over `mesh`.
+
+    params: the SEDNet param tree (train.build_model / model.init).
+    Requires the edge module + late fusion heads (the flagship config).
+    N must be divisible by the mesh size."""
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    x = jax.device_put(x, shard)
+    enc = params["encoder"]
+
+    metric = "points_normals" if mode == 5 else "sqdist"
+    idx1, _ = _ring_knn_jit(x, k, mesh, metric, normal_metric_w)
+    x1 = _edge_conv(enc["conv1"], x, idx1, groups=2)
+    x1 = lax.with_sharding_constraint(x1, shard)
+
+    idx2, _ = _ring_knn_jit(x1, k, mesh, "sqdist", normal_metric_w)
+    x2 = _edge_conv(enc["conv2"], x1, idx2, groups=2)
+    x2 = lax.with_sharding_constraint(x2, shard)
+
+    idx3, _ = _ring_knn_jit(x2, k, mesh, "sqdist", normal_metric_w)
+    x3 = _edge_conv(enc["conv3"], x2, idx3, groups=2)
+    x3 = lax.with_sharding_constraint(x3, shard)
+
+    feats = jnp.concatenate([x1, x2, x3], axis=-1)          # (N, 256)
+    h = _dense(enc["mlp1"], feats)
+    h = jnp.maximum(_group_norm(enc["gn_mlp1"], h, 8), 0.0)
+    global_feat = jnp.max(h, axis=0)                        # (1024,)
+
+    # heads (models/sednet.py wiring, reference SEDNet.py:300-329)
+    xx = jnp.concatenate(
+        [jnp.broadcast_to(global_feat[None, :], (x.shape[0], 1024)), feats],
+        axis=-1)
+    xx = jnp.maximum(_group_norm(params["gn1"],
+                                 _dense(params["conv1"], xx), 8), 0.0)
+    x_all = jnp.maximum(_group_norm(params["gn2"],
+                                    _dense(params["conv2"], xx), 4), 0.0)
+
+    x_type = jnp.maximum(_group_norm(
+        params["gn_prim"], _dense(params["mlp_prim_prob1"], x_all), 4), 0.0)
+    type_logits = _dense(params["mlp_prim_prob2"], x_type)
+    type_log_prob = jax.nn.log_softmax(type_logits, axis=-1)
+
+    e = _dense(params["edge_conv1"], x_type)
+    e = _group_norm(params["edge_gn"], e, 4)
+    edge_logits = _dense(params["edge_conv2"], e)
+
+    emb = jnp.maximum(_group_norm(
+        params["gn_seg"], _dense(params["mlp_seg_prob1"], x_all), 4), 0.0)
+    asis = jnp.maximum(_group_norm(
+        params["asis_gn"], _dense(params["asis_conv"], x_type), 4), 0.0)
+    emb = w_pos_enc * asis + emb
+    fuse_in = jnp.concatenate([type_logits, edge_logits], axis=-1)
+    fuse = jnp.maximum(_dense(params["prim_encoding"], fuse_in), 0.0)
+    emb = emb + w_pos_enc * fuse
+    embedding = _dense(params["mlp_seg_prob2"], emb)
+
+    return BigForwardOutput(
+        embedding=lax.with_sharding_constraint(embedding, shard),
+        type_log_prob=lax.with_sharding_constraint(type_log_prob, shard),
+        edge_logits=lax.with_sharding_constraint(edge_logits, shard))
+
+
+def big_cloud_segment(params, x: jax.Array, mesh: Mesh, key, *, k: int = 64,
+                      mode: int = 5, normal_metric_w: float = 1.0,
+                      quantile: float = 0.015, iterations: int = 50,
+                      bandwidth_samples: int = 5000):
+    """End-to-end big-cloud instance segmentation: sharded forward ->
+    row-sharded mean-shift -> blocked NMS. Returns (labels (N,) int32,
+    num_clusters, type_pred (N,), edge_logits).
+
+    The reference pipeline peaks at O(N^2) memory on one device
+    (generate_predictions_aug.py + src/mean_shift.py); here peak per-device
+    memory is O(N^2 / M) transient distance blocks, so the cloud size
+    scales linearly with the mesh."""
+    from sednet_tpu.cluster.mean_shift import compute_bandwidth, nms
+    from sednet_tpu.parallel.intra_shape import mean_shift_iterate_sharded
+
+    out = big_sednet_forward(params, x, mesh, k=k, mode=mode,
+                             normal_metric_w=normal_metric_w)
+    emb = out.embedding / jnp.clip(
+        jnp.linalg.norm(out.embedding, axis=-1, keepdims=True), min=1e-12)
+    bw = jnp.clip(compute_bandwidth(
+        key, emb, min(bandwidth_samples, x.shape[0]),
+        jnp.float32(quantile)), min=0.003)
+    shifted = mean_shift_iterate_sharded(emb, bw, mesh,
+                                         iterations=iterations)
+    labels, _, num = nms(lax.stop_gradient(shifted),
+                         lax.stop_gradient(emb), bw)
+    return labels, num, out.type_log_prob.argmax(-1), out.edge_logits
