@@ -1,0 +1,76 @@
+"""Production-scale quality gate: fail on regression.
+
+Loads the committed trained checkpoint (checkpoints/bench_10k.npz), runs
+the reference-default predict path (HPNet spectral + guarded mean-shift +
+Hungarian-matched IoU, generate_predictions_aug.py defaults) on the same
+held-out synthetic 10k-point shapes scripts/train_bench_ckpt.py evaluates
+on, and exits nonzero if any metric falls below its floor.
+
+Floors are the 3-seed minimum from the round-3 stability run minus a 0.05
+margin (see README "Validated end to end"); update them together with the
+checkpoint. Runs on the real TPU (~4 min warm).
+
+Usage: python scripts/quality_gate.py [--eval-shapes 8]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "checkpoints", "bench_10k.npz")
+
+# 3-seed stability run (train_bench_ckpt.py --steps 400 --seeds 0,1,2,
+# round 3): inst_iou [0.7624, 0.7586, 0.6802], type_iou [0.758, 0.796,
+# 0.896], recall [0.969, 1.0, 1.0]. Floors = min over seeds - 0.05.
+FLOORS = {"inst_iou": 0.63, "type_iou": 0.70, "inst_recall": 0.91}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--eval-shapes", type=int, default=8)
+    p.add_argument("--n-points", type=int, default=10000)
+    p.add_argument("--workdir", default="/tmp/sednet_quality_gate")
+    args = p.parse_args()
+
+    if not os.path.exists(CKPT):
+        print(f"SKIP: no checkpoint at {CKPT} "
+              "(run scripts/train_bench_ckpt.py --save first)")
+        return 0
+
+    from sednet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from sednet_tpu.config import Config
+    from sednet_tpu.data import write_parsenet_h5
+    from sednet_tpu.predict import run_prediction
+    from sednet_tpu.train import load_params
+
+    root = os.path.join(args.workdir, f"data_{args.n_points}")
+    if not os.path.exists(os.path.join(root, "data_parsenet")):
+        # seed 0 = the same generator chain train_bench_ckpt.py evaluates on
+        write_parsenet_h5(root, n_shapes=48, n_points=args.n_points, seed=0)
+
+    cfg = Config(num_points=args.n_points, knn=64, embed=128,
+                 hpnet_embed=True, ms_num_samples=min(5000, args.n_points))
+    ck = load_params(CKPT)
+    summary, _ = run_prediction(
+        cfg, data_root=root, save_viz=False,
+        out_dir=os.path.join(args.workdir, "pred"),
+        batch_size=args.eval_shapes, limit=args.eval_shapes,
+        params_type=ck["type"], params_inst=ck["inst"])
+    rec = {k: round(summary[k], 4)
+           for k in ("inst_iou", "type_iou", "inst_recall")}
+    rec["floors"] = FLOORS
+    failed = [k for k, floor in FLOORS.items() if summary[k] < floor]
+    rec["status"] = "FAIL" if failed else "PASS"
+    rec["failed"] = failed
+    print("QUALITY_GATE " + json.dumps(rec))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
