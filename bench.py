@@ -220,7 +220,7 @@ def main():
 
         # 4b/4c. reference-DEFAULT eval path (generate_predictions_aug.py
         # ships HPNet_embed=True, :58): plain/TTA forward + hpnet spectral
-        # (matrix-free) + guarded mean-shift + SIOU_usecd metrics — timed
+        # (auto: dense LOBPCG at this N) + guarded mean-shift + SIOU_usecd metrics — timed
         # end to end through predict_shapes, host Hungarian included
         # (VERDICT r2 next-round #1). Quality fields come from the same
         # run's outputs.
