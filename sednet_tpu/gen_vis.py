@@ -46,8 +46,12 @@ def _one(src, dst, shape_id):
                    delimiter=";", fmt="%0.4f")
 
 
-def gen_total_vis(src: str, ids=None, workers: int = 8) -> str:
-    """Reference gen_test_vis.gen_total_vis (:84-89) with a thread pool."""
+def gen_total_vis(src: str, ids=None, workers: int = 8,
+                  images: bool = False) -> str:
+    """Reference gen_test_vis.gen_total_vis (:84-89) with a thread pool.
+    images=True additionally renders one offscreen grid PNG per kind
+    (pred/GT x type/inst) across all shapes — the open3d screenshot half
+    of the reference's vis flow (VisUtils.py:264-283), headless here."""
     dst = os.path.join(src, "VIS")
     os.makedirs(dst, exist_ok=True)
     if ids is None:
@@ -55,6 +59,16 @@ def gen_total_vis(src: str, ids=None, workers: int = 8) -> str:
                       if f.endswith("_type.txt") and "GT" not in f})
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
         list(ex.map(lambda i: _one(src, dst, i), ids))
+    if images and ids:
+        from sednet_tpu.utils import render_pointclouds_grid
+
+        by_kind: dict[str, list] = {}
+        for i in ids:
+            for kind, arr in gen_vis(src, i).items():
+                by_kind.setdefault(kind, []).append(arr)
+        for kind, arrs in by_kind.items():
+            render_pointclouds_grid(
+                arrs, os.path.join(dst, f"grid_{kind}.png"))
     return dst
 
 
@@ -63,8 +77,10 @@ def main(argv=None):
     p.add_argument("src")
     p.add_argument("--ids", nargs="*", default=None)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--images", action="store_true",
+                   help="also render grid PNGs of the colored dumps")
     a = p.parse_args(argv)
-    gen_total_vis(a.src, ids=a.ids, workers=a.workers)
+    gen_total_vis(a.src, ids=a.ids, workers=a.workers, images=a.images)
 
 
 if __name__ == "__main__":

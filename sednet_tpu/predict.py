@@ -36,7 +36,7 @@ from sednet_tpu.cluster.spectral import (compute_entropy, hpnet_enrich,
                                          normal_affinity_topk,
                                          spectral_eigvecs)
 from sednet_tpu.config import Config, load_config
-from sednet_tpu.metrics import siou_matched_segments_usecd, to_one_hot
+from sednet_tpu.metrics import siou_matched_segments_usecd_batch
 from sednet_tpu.models import SEDNet
 from sednet_tpu.train import build_model, load_params
 from sednet_tpu.utils import visual_labels
@@ -376,34 +376,31 @@ def predict_shapes(
     edge_prob_all = (np.asarray(jax.nn.softmax(edge_logits, -1))
                      if edge_logits is not None else
                      np.zeros(pred_prim_all.shape + (2,), np.float32))
+    # metric stage batched across shapes: 2 device dispatches total (one
+    # (B,50,50) cost matrix + one padded chamfer over all matched pairs)
+    # instead of 2+ relay round-trips per shape — measured ~150 ms/shape
+    # on the remote v5e, the largest stage of the reference-default path
+    mets = siou_matched_segments_usecd_batch(
+        [batch["labels"][i].astype(np.int64) for i in range(b)],
+        [labels_np[i].astype(np.int64) for i in range(b)],
+        [pred_prim_all[i].astype(np.int64) for i in range(b)],
+        [batch["prim"][i].astype(np.int64) for i in range(b)],
+        [batch["points"][i] for i in range(b)])
     results = []
     for i in range(b):
-        r = _shape_metrics(labels_np[i], int(nums_np[i]), pred_prim_all[i],
-                           batch, i, edge_prob_all[i])
-        r["guard_capped"] = bool(guard_flags["capped"][i])
-        r["guard_bw_capped"] = bool(guard_flags["bw_capped"][i])
-        results.append(r)
+        s_iou, p_iou, _, _, s_recall = mets[i]
+        results.append({
+            "cluster_ids": labels_np[i],
+            "pred_primitives": pred_prim_all[i],
+            "edge_prob": edge_prob_all[i],
+            "inst_iou": s_iou,
+            "type_iou": p_iou,
+            "inst_recall": s_recall,
+            "num_clusters": int(nums_np[i]),
+            "guard_capped": bool(guard_flags["capped"][i]),
+            "guard_bw_capped": bool(guard_flags["bw_capped"][i]),
+        })
     return results
-
-
-def _shape_metrics(cluster_ids, num_clusters: int, pred_prim, batch: dict,
-                   i: int, edge_prob) -> dict:
-    """Hungarian-matched IoU metrics for one shape
-    (reference: generate_predictions_aug.py:389-411)."""
-    weights = to_one_hot(cluster_ids, max(num_clusters, 1))
-    s_iou, p_iou, _, _, s_recall = siou_matched_segments_usecd(
-        batch["labels"][i].astype(np.int64), cluster_ids,
-        pred_prim.astype(np.int64),
-        batch["prim"][i].astype(np.int64), weights, batch["points"][i])
-    return {
-        "cluster_ids": cluster_ids,
-        "pred_primitives": pred_prim,
-        "edge_prob": edge_prob,
-        "inst_iou": s_iou,
-        "type_iou": p_iou,
-        "inst_recall": s_recall,
-        "num_clusters": num_clusters,
-    }
 
 
 def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict,

@@ -4,3 +4,9 @@ from sednet_tpu.utils.vis import (
     visual_labels,
     save_xyz,
 )
+from sednet_tpu.utils.grid_vis import (
+    render_meshes_grid,
+    render_pointclouds_grid,
+    save_images_rotations,
+    vis_batch_in_grid,
+)

@@ -134,3 +134,38 @@ def test_masked_chamfer_pairs_matches_per_pair():
         ref = float(chamfer_distance(jnp.asarray(a[None]),
                                      jnp.asarray(b[None])))
         np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-7)
+
+
+def test_siou_usecd_batch_matches_per_shape(rng):
+    """The batched (2-dispatch) metric path must be numerically identical
+    to calling siou_matched_segments_usecd shape by shape."""
+    from sednet_tpu.metrics import siou_matched_segments_usecd_batch
+
+    shapes = []
+    for i in range(4):
+        n = 500
+        k = 2 + i
+        gt = rng.randint(0, k, n)
+        pred = gt.copy()
+        # corrupt a tenth of the labels so IoU < 1 and matching is nontrivial
+        bad = rng.choice(n, n // 10, replace=False)
+        pred[bad] = rng.randint(0, k, bad.shape[0])
+        prim_gt = rng.randint(0, 10, n)
+        prim_pred = prim_gt.copy()
+        prim_pred[bad] = rng.randint(0, 10, bad.shape[0])
+        points = rng.randn(n, 3).astype(np.float32)
+        shapes.append((gt, pred, prim_pred, prim_gt, points))
+
+    batched = siou_matched_segments_usecd_batch(
+        [s[0] for s in shapes], [s[1] for s in shapes],
+        [s[2] for s in shapes], [s[3] for s in shapes],
+        [s[4] for s in shapes])
+
+    for (gt, pred, prim_pred, prim_gt, points), got in zip(shapes, batched):
+        w = to_one_hot(pred, int(pred.max()) + 1)
+        want = siou_matched_segments_usecd(
+            gt, pred, prim_pred, prim_gt, w, points)
+        assert got[0] == pytest.approx(want[0], abs=1e-6)   # seg iou
+        assert got[1] == pytest.approx(want[1], abs=1e-6)   # type iou
+        assert got[4] == pytest.approx(want[4], abs=1e-6)   # recall
+        assert got[3] == want[3]                            # prim pairs
