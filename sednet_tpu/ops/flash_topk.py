@@ -178,6 +178,14 @@ def _make_kernel(n_valid: int, n_tiles: int, metric: str, w: float,
         # renumbers program_id when it prepends the batch axis)
         diag = jnp.minimum(pl.program_id(0) * (rb // W) // halves,
                            n_super - 1)
+        if largest:
+            # farthest mode on a Morton-sorted cloud: curve position t's
+            # spatial antipode sits near position n-1-t (complementing the
+            # coordinates complements the interleaved bits), so the
+            # farthest candidates live in the MIRRORED tile — stream from
+            # there and the threshold tightens immediately, re-enabling
+            # the skip that diagonal-first gives nearest mode
+            diag = n_super - 1 - diag
 
         def body(j, carry):
             j_eff = lax.rem(diag + j, n_super)
@@ -295,12 +303,17 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
     p = lax.stop_gradient(p)
 
     if spatial_sort is None:
-        # on for every nearest-mode query: geometric inputs have true
-        # locality, and DGCNN feature maps inherit it from their spatial
-        # receptive fields (measured 160 -> 121 ms per batch-8 10k-point
-        # layer-2 kNN even with untrained weights)
-        spatial_sort = not largest
-    if spatial_sort and not largest:
+        # on for every query: geometric inputs have true locality, DGCNN
+        # feature maps inherit it from their spatial receptive fields
+        # (measured 160 -> 121 ms per batch-8 10k-point layer-2 kNN even
+        # with untrained weights), and largest mode streams antipode-first
+        # where the sorted curve makes the far region just as predictable
+        # (spectral farthest-50 on a 10k xyz cloud: 26.3 -> 9.7 ms; on
+        # cluster-structured emb128 26.9 -> 12.3; the one measured loss
+        # is structureless random emb128, 26.8 -> 30.8 — no real input
+        # looks like that)
+        spatial_sort = True
+    if spatial_sort:
         key_dims = slice(0, 3) if metric == "points_normals" else slice(None)
         perm_q = _locality_order(q[:, key_dims])
         # self-kNN (p is q) recomputes the identical permutation; cross-set
