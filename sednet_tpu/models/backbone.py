@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sednet_tpu.ops.flash_topk import pallas_topk_supported
 from sednet_tpu.ops.graph import edge_conv_features
 from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
 
@@ -62,25 +63,54 @@ class DGCNNEncoder(nn.Module):
         Uniform scalings and rotations of the input leave the first-layer
         neighbour ordering unchanged (both reference metrics scale every
         pairwise value by the same factor), so TTA votes reuse the base
-        forward's graph instead of rebuilding it."""
+        forward's graph instead of rebuilding it.
+
+        On TPU the whole encoder runs in xyz-Morton-sorted point order:
+        every layer of the network is permutation-equivariant (per-point
+        matmuls, GroupNorm stats over all points, neighbour max, global
+        max), so ONE permutation at entry + ONE inverse gather of the
+        (B, N, 256) output replaces the sort/unsort glue that each of the
+        three fused kNN builds would otherwise pay internally (PCA of the
+        feature map + argsort + 3 gathers per call — measured ~40% of the
+        per-call cost), and the two feature-space builds inherit the
+        GEOMETRIC locality order, which prunes their distance tiles better
+        than feature-PCA does (features are smooth over the surface)."""
+        use_sort = (jax.default_backend() == "tpu"
+                    and pallas_topk_supported(x.shape[1], x.shape[2], self.k))
+        if use_sort:
+            from sednet_tpu.ops.flash_topk import _locality_order
+
+            perm = jax.vmap(_locality_order)(x[..., :3])        # (B, N)
+            inv = jnp.argsort(perm, axis=1)
+            x = jnp.take_along_axis(x, perm[..., None], axis=1)
+            if idx1 is not None:
+                # re-express a caller-supplied graph (original point ids)
+                # in sorted space: new[b,i,j] = inv[b, old[b, perm[b,i], j]]
+                b, n, kk = idx1.shape
+                rows = jnp.take_along_axis(idx1, perm[..., None], axis=1)
+                idx1 = jnp.take_along_axis(
+                    inv, rows.reshape(b, n * kk), axis=1).reshape(b, n, kk)
+        sort_kw = dict(spatial_sort=False) if use_sort else {}
         if idx1 is None:
             if self.mode == 5:
                 idx1 = knn_indices_points_normals(
-                    x, self.k, normal_metric_w=self.normal_metric_w
-                )
+                    x, self.k, normal_metric_w=self.normal_metric_w,
+                    **sort_kw)
             else:
-                idx1 = knn_indices(x, self.k)
+                idx1 = knn_indices(x, self.k, **sort_kw)
         x1 = EdgeConv(64, groups=2, k=self.k, name="conv1")(x, idx1)
 
-        idx2 = knn_indices(x1, self.k)
+        idx2 = knn_indices(x1, self.k, **sort_kw)
         x2 = EdgeConv(64, groups=2, k=self.k, name="conv2")(x1, idx2)
 
-        idx3 = knn_indices(x2, self.k)
+        idx3 = knn_indices(x2, self.k, **sort_kw)
         x3 = EdgeConv(128, groups=2, k=self.k, name="conv3")(x2, idx3)
 
         feats = jnp.concatenate([x1, x2, x3], axis=-1)  # (B, N, 256)
         h = nn.Dense(1024, name="mlp1")(feats)
         h = nn.GroupNorm(num_groups=8, name="gn_mlp1")(h)
         h = nn.relu(h)
-        global_feat = jnp.max(h, axis=1)  # (B, 1024)
+        global_feat = jnp.max(h, axis=1)  # (B, 1024) — order-invariant
+        if use_sort:
+            feats = jnp.take_along_axis(feats, inv[..., None], axis=1)
         return global_feat, feats

@@ -134,19 +134,24 @@ def _resolve_method(method: str, n: int, dim: int, k: int) -> str:
     return "hier"
 
 
-@functools.partial(jax.jit, static_argnames=("k1", "k2", "row_block", "method"))
+@functools.partial(jax.jit, static_argnames=("k1", "k2", "row_block", "method",
+                                             "spatial_sort"))
 def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *,
-                row_block: int = 512, method: str = "auto") -> jax.Array:
+                row_block: int = 512, method: str = "auto",
+                spatial_sort: bool | None = None) -> jax.Array:
     """Batched kNN under squared-euclidean distance.
 
     x: (B, N, D) float. Returns (B, N, k1) int32 — for each point, the
     indices of its k nearest neighbours (self included, nearest first).
+    spatial_sort=False promises the rows are ALREADY locality-ordered
+    (the encoder sorts once for all three graph builds).
     Reference: src/PointNet.py:62-87.
     """
     k2 = k1 if k2 is None else k2
     method = _resolve_method(method, x.shape[1], x.shape[2], k2)
     if method == "pallas":
         idx = topk_pallas(x, x, k2, row_block=row_block,
+                          spatial_sort=spatial_sort,
                           interpret=jax.default_backend() != "tpu")
         return _dilate(idx, k1, k2)
     f = functools.partial(
@@ -161,7 +166,7 @@ def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *,
 
 @functools.partial(
     jax.jit, static_argnames=("k1", "k2", "row_block", "normal_metric_w",
-                              "method")
+                              "method", "spatial_sort")
 )
 def knn_indices_points_normals(
     x: jax.Array,
@@ -171,6 +176,7 @@ def knn_indices_points_normals(
     normal_metric_w: float = 1.0,
     row_block: int = 512,
     method: str = "auto",
+    spatial_sort: bool | None = None,
 ) -> jax.Array:
     """Batched kNN under the position*(1+W*normal) metric.
 
@@ -182,6 +188,7 @@ def knn_indices_points_normals(
         idx = topk_pallas(x, x, k2, metric="points_normals",
                           normal_metric_w=normal_metric_w,
                           row_block=row_block,
+                          spatial_sort=spatial_sort,
                           interpret=jax.default_backend() != "tpu")
         return _dilate(idx, k1, k2)
     metric = functools.partial(_points_normals_sqdist, w=normal_metric_w)
