@@ -58,37 +58,35 @@ def normal_affinity_topk(xyz: jax.Array, normals: jax.Array, *, sigma: float = 0
     n_sub = normals[idx]                                          # (N, k, 3)
     cos = jnp.clip(jnp.einsum("nc,nkc->nk", normals, n_sub), -0.99, 0.99)
     w = jnp.exp(-jnp.arccos(cos) ** 2 / (2.0 * sigma * sigma))    # (N, k)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], idx.shape)
     # Reference math (smooth_normal_matrix.py:84-92): scatter -> fill zeros
     # with 1e-12 -> D^-1/2 A D^-1/2 -> symmetrize (a+aT)/2; its mask is
     # taken AFTER the background fill, so the clip(mask+maskT,1,2) divisor
     # is identically 2 — a quirk we keep. Rewritten in ONE double-sided
     # scatter instead of transpose+mask+clip passes over the N x N matrix
     # (each full pass is 800 MB of HBM traffic at N=10k; measured 40 ->
-    # 21 ms per shape on v5e, loop-amortized; new-vs-old relative drift
-    # 4e-7 on TPU):
-    #   d_i from the FILLED asymmetric rowsum = w-rowsum + 1e-12 (n-k+z_i)
-    #   where z_i counts w entries that underflow to exactly 0 in f32 —
-    #   the fill turns those scattered zeros into 1e-12 too, and in the
-    #   farthest-neighbour quirk mode near-antipodal normals make exp
-    #   underflow often enough that dropping z_i costs 0.7% on the
-    #   fill-dominated rows (idx rows are distinct, so collisions never
-    #   land inside a row);
-    #   (a+aT)/2 = scatter(rows,idx,w/2) + scatter(idx,rows,w/2) with
-    #   1e-12 background (one-directional edges pick up the background's
-    #   1e-12/2 from the missing direction — absorbed into the fill).
-    del rows
-    nz = jnp.sum(w == 0.0, axis=-1)
-    d = jax.lax.rsqrt(w.sum(-1) + 1e-12 * ((n - k) + nz))
-    a = _dense_sym_from_topk(idx, w * 0.5, n)
-    a = jnp.where(a == 0, 1e-12, a)
+    # 21 ms per shape on v5e, loop-amortized). Exactness bookkeeping
+    # (pinned to the scatter construction by the cluster test suite):
+    #   * weights that underflow to exactly 0 in f32 (near-antipodal
+    #     normals are common in the farthest-neighbour quirk mode) are
+    #     indistinguishable from background after the reference's fill —
+    #     pre-fill them to 1e-12 so both the degree and the entries agree;
+    #   * d_i = FILLED asymmetric rowsum = w-rowsum + 1e-12 (n - k)
+    #     (idx rows are distinct, so collisions never land inside a row);
+    #   * (a+aT)/2 over the filled matrix = 1e-12 background + per-hit
+    #     contributions of (w - 1e-12)/2: zero hits -> 1e-12, one hit ->
+    #     (w + 1e-12)/2, two hits -> (w_ij + w_ji)/2, all exactly the
+    #     reference values — so the fill costs NO extra per-element work
+    #     (the background rides the accumulator init).
+    w = jnp.where(w == 0.0, 1e-12, w)
+    d = jax.lax.rsqrt(w.sum(-1) + 1e-12 * (n - k))
+    a = _dense_sym_from_topk(idx, (w - 1e-12) * 0.5, n)
     # outer product FIRST: s_ij = d_i*d_j equals s_ji exactly (IEEE mult
     # commutes), so a*s stays bitwise symmetric; (a*d_i)*d_j would not
     return a * (d[:, None] * d[None, :])
 
 
 def _dense_sym_from_topk(idx: jax.Array, w: jax.Array, n: int) -> jax.Array:
-    """(P + P^T) for P[i, idx[i, kk]] = w[i, kk], built WITHOUT XLA scatter.
+    """1e-12 + (P + P^T) for P[i, idx[i, kk]] = w[i, kk], WITHOUT XLA scatter.
 
     A 500k-element scatter into a 400 MB dense buffer was the whole cost of
     the affinity build on v5e (~37 of 41 ms — rewriting the surrounding
@@ -112,7 +110,8 @@ def _dense_sym_from_topk(idx: jax.Array, w: jax.Array, n: int) -> jax.Array:
         rows_b = (r0 + jnp.arange(rb, dtype=jnp.int32))[:, None]
         idx_b = lax.dynamic_slice_in_dim(idx_p, r0, rb)      # (rb, k)
         w_b = lax.dynamic_slice_in_dim(w_p, r0, rb)
-        acc = jnp.zeros((rb, n), jnp.float32)
+        # background fill rides the accumulator init — no extra pass
+        acc = jnp.full((rb, n), 1e-12, jnp.float32)
         for kk in range(k):
             # row term: P[i, idx[i,kk]] += w[i,kk]
             acc = acc + jnp.where(idx_b[:, kk:kk + 1] == col_ids,

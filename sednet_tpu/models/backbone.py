@@ -56,6 +56,10 @@ class DGCNNEncoder(nn.Module):
     mode: int = 5
     k: int = 64
     normal_metric_w: float = 1.0
+    # None = auto (on when the fused TPU kernel serves the kNN builds);
+    # tests force True on CPU to pin the permutation-equivariance of the
+    # sorted-order path against the unsorted one
+    sort_points: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, idx1: jax.Array | None = None):
@@ -75,8 +79,11 @@ class DGCNNEncoder(nn.Module):
         per-call cost), and the two feature-space builds inherit the
         GEOMETRIC locality order, which prunes their distance tiles better
         than feature-PCA does (features are smooth over the surface)."""
-        use_sort = (jax.default_backend() == "tpu"
-                    and pallas_topk_supported(x.shape[1], x.shape[2], self.k))
+        use_sort = self.sort_points
+        if use_sort is None:
+            use_sort = (jax.default_backend() == "tpu"
+                        and pallas_topk_supported(x.shape[1], x.shape[2],
+                                                  self.k))
         if use_sort:
             from sednet_tpu.ops.flash_topk import _locality_order
 

@@ -300,3 +300,42 @@ def test_neighbor_idx_blocked_matches_dense(rng):
             got_d = np.sort(d[i, idx[i]])
             want_d = np.sort(d[i, want[i]])
             np.testing.assert_allclose(got_d, want_d, atol=1e-5)
+
+
+def test_normal_affinity_matches_scatter_construction(rng):
+    """The scatter-free row-blocked build (commit ab32cdf) must equal the
+    reference construction — scatter -> 1e-12 background fill -> D^-1/2 A
+    D^-1/2 -> (a+aT)/2 (smooth_normal_matrix.py:84-92) — from the SAME
+    neighbour sets, including rows whose gaussian weights underflow to
+    exactly 0 in f32 (antipodal normals in farthest mode)."""
+    from sednet_tpu.cluster.spectral import _neighbor_idx
+
+    n, k, sigma = 700, 50, 0.1
+    xyz = rng.randn(n, 3).astype(np.float32)
+    nrm = rng.randn(n, 3).astype(np.float32)
+    # force exact-zero weights: half the normals point away from the rest
+    nrm[: n // 2] *= -1.0
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    a = np.asarray(normal_affinity_topk(jnp.asarray(xyz), jnp.asarray(nrm),
+                                        k=k, sigma=sigma))
+
+    idx = np.asarray(_neighbor_idx(jnp.asarray(xyz), k, False))
+    cos = np.clip(np.einsum("nc,nkc->nk", nrm, nrm[idx]), -0.99, 0.99)
+    w = np.exp(-np.arccos(cos) ** 2 / (2 * sigma * sigma)).astype(np.float32)
+    # XLA flushes subnormal exp results to 0; numpy keeps them — mimic XLA
+    # so the comparison isolates the matrix CONSTRUCTION
+    w[w < np.finfo(np.float32).tiny] = 0.0
+    assert (w == 0).any(), "fixture must exercise underflowed weights"
+    p = np.zeros((n, n), np.float32)
+    np.add.at(p, (np.broadcast_to(np.arange(n)[:, None], idx.shape), idx), w)
+    p = np.where(p == 0, 1e-12, p)
+    d = 1.0 / np.sqrt(p.sum(-1))
+    p = p * d[:, None] * d[None, :]
+    ref = (p + p.T) / 2
+    # guarantee: exact up to rounding PLUS one ulp of the 1e-12 background
+    # (the (w - 1e-12)/2 + background trick cancels at weights << 1e-12 —
+    # seven orders below the fill floor, invisible to LOBPCG)
+    bound = 2e-5 * np.abs(ref) + 2e-19 * np.outer(d, d)
+    assert (np.abs(a - ref) <= bound).all(), (
+        f"max excess {(np.abs(a - ref) - bound).max():.3e}")
+    np.testing.assert_array_equal(a, a.T)  # bitwise symmetric

@@ -115,3 +115,34 @@ def test_groupnorm_matches_torch():
     with torch.no_grad():
         theirs = tg(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_encoder_sorted_path_matches_unsorted():
+    """The shared-permutation encoder (one Morton sort at entry, inverse
+    gather at exit) is exactly permutation-equivariant: forcing the sorted
+    path on CPU must reproduce the unsorted output up to f32 reduction
+    order — including when a precomputed idx1 graph (original point ids)
+    is supplied and must be re-expressed in sorted space."""
+    from sednet_tpu.ops.knn import knn_indices_points_normals
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(B, N, 3).astype(np.float32)
+    nrm = rng.randn(B, N, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    x = jnp.asarray(np.concatenate([pts, nrm], -1))
+
+    enc_ref = DGCNNEncoder(mode=5, k=K, sort_points=False)
+    enc_srt = DGCNNEncoder(mode=5, k=K, sort_points=True)
+    variables = enc_ref.init(jax.random.PRNGKey(0), x)
+
+    g0, f0 = jax.jit(enc_ref.apply)(variables, x)
+    g1, f1 = jax.jit(enc_srt.apply)(variables, x)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-4, atol=1e-5)
+
+    idx1 = knn_indices_points_normals(x, K)
+    g2, f2 = jax.jit(enc_srt.apply)(variables, x, idx1)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f2),
+                               rtol=1e-4, atol=1e-5)
