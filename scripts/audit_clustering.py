@@ -110,11 +110,24 @@ def main():
     out["pallas_vs_xla_max_drift"] = drift
     out["pallas_vs_xla_label_iou"] = round(backend_iou, 6)
 
+    # bf16-step drift (the opt-in config.ms_bf16 fast path): converged
+    # positions move by O(bf16 quantization amplified through the kernel
+    # exp); what gates enabling it is LABEL agreement after NMS
+    shifted_b = mean_shift_iterate(enriched, bw, 50, backend="pallas",
+                                   bf16=True)
+    lb = np.asarray(nms(shifted_b, enriched, bw)[0])
+    bf16_drift = float(np.abs(np.asarray(shifted_b)
+                              - np.asarray(shifted_p)).max())
+    bf16_iou = matched_iou(lp, lb)
+    out["bf16_vs_f32_max_drift"] = bf16_drift
+    out["bf16_vs_f32_label_iou"] = round(bf16_iou, 6)
+
     print(json.dumps(out))
     assert max(counts) - min(counts) <= 1, counts
     assert min(ious) > 0.95, ious
     assert backend_iou > 0.999, backend_iou
     assert drift < 1e-3, drift
+    assert bf16_iou > 0.999, bf16_iou
     print("AUDIT OK")
 
 

@@ -112,10 +112,11 @@ def _kernel(dist, b, kernel_type: str):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "kernel_type", "backend", "interpret"))
+    static_argnames=("iterations", "kernel_type", "backend", "bf16",
+                     "interpret"))
 def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
                        kernel_type: str = "gaussian",
-                       backend: str = "auto",
+                       backend: str = "auto", bf16: bool = False,
                        interpret: bool = False) -> jax.Array:
     """Fixed-trip mean-shift updates (reference: src/mean_shift.py:45-79).
 
@@ -133,7 +134,7 @@ def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
         from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas
 
         def body(_, new_x):
-            return mean_shift_step_pallas(new_x, x, bandwidth,
+            return mean_shift_step_pallas(new_x, x, bandwidth, bf16=bf16,
                                           interpret=interpret)
 
         return lax.fori_loop(0, iterations, body, x)
@@ -230,23 +231,27 @@ def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "iterations", "kernel_type"))
+    jax.jit, static_argnames=("num_samples", "iterations", "kernel_type",
+                              "bf16"))
 def mean_shift(key, x, *, num_samples=10000, quantile=0.015, iterations=50,
-               kernel_type: str = "gaussian", bandwidth=None) -> MeanShiftResult:
+               kernel_type: str = "gaussian", bandwidth=None,
+               bf16: bool = False) -> MeanShiftResult:
     """One full clustering pass (reference: src/mean_shift.py:19-43)."""
     q = jnp.asarray(quantile, jnp.float32)
     if bandwidth is None:
         bandwidth = lax.stop_gradient(
             jnp.clip(compute_bandwidth(key, x, num_samples, q), min=0.003))
-    shifted = mean_shift_iterate(x, bandwidth, iterations, kernel_type)
+    shifted = mean_shift_iterate(x, bandwidth, iterations, kernel_type,
+                                 bf16=bf16)
     labels, center_mask, num = nms(lax.stop_gradient(shifted),
                                    lax.stop_gradient(x), bandwidth)
     return MeanShiftResult(shifted, labels, center_mask, num, bandwidth, q)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "iterations"))
-def _batched_shift(keys, x, quantile, num_samples: int, iterations: int):
+    jax.jit, static_argnames=("num_samples", "iterations", "bf16"))
+def _batched_shift(keys, x, quantile, num_samples: int, iterations: int,
+                   bf16: bool = False):
     # unrolled, not vmapped: under vmap the bandwidth path's lax.cond
     # degrades to a both-branches select and the Pallas top-k falls back to
     # its (slower) batching rule; the unrolled calls share one compiled
@@ -257,14 +262,14 @@ def _batched_shift(keys, x, quantile, num_samples: int, iterations: int):
     from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas_batched
 
     def body(_, new_x):
-        return mean_shift_step_pallas_batched(new_x, x, bw)
+        return mean_shift_step_pallas_batched(new_x, x, bw, bf16=bf16)
 
     return lax.fori_loop(0, iterations, body, x), bw
 
 
 def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
                   iterations=50, max_clusters: int = 49,
-                  retry_factor: float = 1.2):
+                  retry_factor: float = 1.2, bf16: bool = False):
     """Cluster a batch of shapes: one batched Pallas launch for the shift
     iterations (the throughput path, SURVEY §2.9), per-shape NMS, and an
     individual guarded retry only for shapes that exceed max_clusters.
@@ -279,7 +284,8 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
     b = x.shape[0]
     keys = jax.random.split(key, b)
     shifted, bw = _batched_shift(keys, x, jnp.float32(quantile),
-                                 min(num_samples, x.shape[1]), iterations)
+                                 min(num_samples, x.shape[1]), iterations,
+                                 bf16=bf16)
     # dispatch all NMS programs before any host sync so they pipeline
     results = [nms(shifted[i], x[i], bw[i]) for i in range(b)]
     labels = [r[0] for r in results]
@@ -290,7 +296,8 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
         res = guard_mean_shift(
             keys[i], x[i], num_samples=num_samples,
             quantile=quantile * retry_factor, iterations=iterations,
-            max_clusters=max_clusters, retry_factor=retry_factor)
+            max_clusters=max_clusters, retry_factor=retry_factor,
+            bf16=bf16)
         labels[i] = res.labels
         nums[i] = int(res.num_clusters)
         capped[i] = bool(res.capped)
@@ -302,18 +309,20 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
 @functools.partial(
     jax.jit,
     static_argnames=("num_samples", "iterations", "kernel_type",
-                     "max_clusters", "retry_factor"))
+                     "max_clusters", "retry_factor", "bf16"))
 def guard_mean_shift(key, x, *, num_samples=10000, quantile=0.015,
                      iterations=50, kernel_type: str = "gaussian",
                      max_clusters: int = 49,
-                     retry_factor: float = 1.2) -> MeanShiftResult:
+                     retry_factor: float = 1.2,
+                     bf16: bool = False) -> MeanShiftResult:
     """Retry with inflated quantile until <= max_clusters clusters
     (reference: generate_predictions_aug.py:25-35 uses x1.2; the library
     variant src/mean_shift.py:81-96 uses x2 — pass retry_factor=2.0)."""
 
     def attempt(q, k):
         return mean_shift(k, x, num_samples=num_samples, quantile=q,
-                          iterations=iterations, kernel_type=kernel_type)
+                          iterations=iterations, kernel_type=kernel_type,
+                          bf16=bf16)
 
     def cond(state):
         res, _, tries = state

@@ -73,6 +73,12 @@ class Config:
     ms_num_samples: int = 10000
     ms_max_clusters: int = 50
     ms_retry_factor: float = 1.2
+    # bf16 inputs for the mean-shift step matmuls (f32 accumulation).
+    # ~3x MXU throughput on the dominant clustering cost, but bf16
+    # quantization of the unit rows perturbs each kernel weight by up to
+    # ~e^(4e-3/(2 b^2)); off by default pending the label-drift audit
+    # (scripts/audit_clustering.py --bf16)
+    ms_bf16: bool = False
     hpnet_embed: bool = True
     normal_smooth_w: float = 0.5
     spectral_sigma: float = 0.1

@@ -40,6 +40,8 @@ def _ms_kernel(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
 
     q = q_ref[:]                                   # (RB, E)
     x = x_ref[:]                                   # (CB, E)
+    # inputs may arrive in bf16 (the opt-in fast path: ~3x MXU throughput
+    # and half the streamed-column HBM traffic); both dots accumulate f32
     s = lax.dot_general(q, x, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (RB, CB)
     arg = jnp.maximum((s - 1.0) * inv2b2_ref[0, 0], -75.0)
@@ -49,7 +51,8 @@ def _ms_kernel(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1) + j * cb
     k = jnp.where(col < n_valid_ref[0, 0], k, 0.0)
 
-    num_acc[:] += jnp.dot(k, x, preferred_element_type=jnp.float32)
+    num_acc[:] += jnp.dot(k.astype(x.dtype), x,
+                          preferred_element_type=jnp.float32)
     den_acc[:] += jnp.sum(k, axis=1, keepdims=True)
 
     @pl.when(j == nj - 1)
@@ -84,7 +87,8 @@ def _ms_kernel_batched(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1) + j * cb
     k = jnp.where(col < n_valid_ref[0, 0], k, 0.0)
 
-    num_acc[:] += jnp.dot(k, x, preferred_element_type=jnp.float32)
+    num_acc[:] += jnp.dot(k.astype(x.dtype), x,
+                          preferred_element_type=jnp.float32)
     den_acc[:] += jnp.sum(k, axis=1, keepdims=True)
 
     @pl.when(j == nj - 1)
@@ -96,22 +100,26 @@ def _ms_kernel_batched(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("row_block", "col_block", "interpret"))
+                   static_argnames=("row_block", "col_block", "bf16", "interpret"))
 def mean_shift_step_pallas_batched(new_x: jax.Array, x: jax.Array,
                                    bandwidth: jax.Array, *,
                                    row_block: int = 512,
                                    col_block: int = 1024,
+                                   bf16: bool = False,
                                    interpret: bool = False) -> jax.Array:
     """Batched fused mean-shift update: new_x, x (B, N, E) unit rows;
     bandwidth (B,). One kernel launch clusters every shape in the batch —
-    the batch axis is an extra parallel grid dimension."""
+    the batch axis is an extra parallel grid dimension. bf16=True runs
+    the two tile matmuls on bf16 inputs with f32 accumulation (opt-in,
+    see config.ms_bf16; output stays f32)."""
     bsz, n, e = x.shape
     rb = min(row_block, _round_up(n, 8))
     cb = min(col_block, _round_up(n, 128))
     n_rows = _round_up(n, rb)
     n_cols = _round_up(n, cb)
-    q_pad = jnp.pad(new_x, ((0, 0), (0, n_rows - n), (0, 0)))
-    x_pad = jnp.pad(x, ((0, 0), (0, n_cols - n), (0, 0)))
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    q_pad = jnp.pad(new_x, ((0, 0), (0, n_rows - n), (0, 0))).astype(dt)
+    x_pad = jnp.pad(x, ((0, 0), (0, n_cols - n), (0, 0))).astype(dt)
     inv2b2 = (1.0 / (bandwidth * bandwidth)).reshape(bsz, 1).astype(
         jnp.float32)
     n_valid = jnp.full((1, 1), n, jnp.int32)
@@ -142,19 +150,21 @@ def mean_shift_step_pallas_batched(new_x: jax.Array, x: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("row_block", "col_block", "interpret"))
+                   static_argnames=("row_block", "col_block", "bf16", "interpret"))
 def mean_shift_step_pallas(new_x: jax.Array, x: jax.Array,
                            bandwidth: jax.Array, *, row_block: int = 512,
-                           col_block: int = 1024,
+                           col_block: int = 1024, bf16: bool = False,
                            interpret: bool = False) -> jax.Array:
-    """One fused mean-shift update. new_x, x: (N, E) unit rows."""
+    """One fused mean-shift update. new_x, x: (N, E) unit rows. bf16=True
+    runs the tile matmuls on bf16 inputs, f32 accumulation (opt-in)."""
     n, e = x.shape
     rb = min(row_block, _round_up(n, 8))
     cb = min(col_block, _round_up(n, 128))
     n_rows = _round_up(n, rb)
     n_cols = _round_up(n, cb)
-    q_pad = jnp.pad(new_x, ((0, n_rows - n), (0, 0)))
-    x_pad = jnp.pad(x, ((0, n_cols - n), (0, 0)))
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    q_pad = jnp.pad(new_x, ((0, n_rows - n), (0, 0))).astype(dt)
+    x_pad = jnp.pad(x, ((0, n_cols - n), (0, 0))).astype(dt)
     inv2b2 = (1.0 / (bandwidth * bandwidth)).reshape(1, 1).astype(jnp.float32)
     n_valid = jnp.full((1, 1), n, jnp.int32)
 

@@ -351,7 +351,7 @@ def predict_shapes(
         labels_all, nums_all, guard_flags = cluster_batch(
             ckey, emb_n, num_samples=ns, quantile=cfg.ms_quantile,
             iterations=cfg.ms_iterations, max_clusters=cap,
-            retry_factor=cfg.ms_retry_factor)
+            retry_factor=cfg.ms_retry_factor, bf16=cfg.ms_bf16)
         labels_np = np.asarray(labels_all)
         nums_np = np.asarray(nums_all)
     else:

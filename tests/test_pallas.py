@@ -55,6 +55,39 @@ def test_mean_shift_step_padding_is_masked(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_mean_shift_step_bf16_close_and_labels_stable(rng):
+    """The opt-in bf16 fast path (config.ms_bf16): one step stays within
+    bf16-quantization-amplified tolerance of the f32 step, and a full
+    clustering run lands on the identical partition on well-separated
+    embeddings (the production audit in scripts/audit_clustering.py pins
+    the label IoU at 10k points)."""
+    from sednet_tpu.cluster.mean_shift import mean_shift_iterate, nms
+
+    n, e, k = 400, 16, 4
+    dirs = rng.randn(k, e)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    lab = rng.randint(0, k, n)
+    x = dirs[lab] + 0.05 * rng.randn(n, e)
+    x = jnp.asarray((x / np.linalg.norm(x, axis=1, keepdims=True)).astype(
+        np.float32))
+    bw = jnp.float32(0.25)
+    f32 = np.asarray(mean_shift_step_pallas(
+        x, x, bw, row_block=128, col_block=256, interpret=True))
+    b16 = np.asarray(mean_shift_step_pallas(
+        x, x, bw, row_block=128, col_block=256, bf16=True, interpret=True))
+    assert b16.dtype == np.float32
+    # one step: bf16 rel-err ~8e-3 on s amplified by exp(ds/(2 b^2))
+    np.testing.assert_allclose(b16, f32, atol=5e-2)
+    sp = mean_shift_iterate(x, bw, 50, backend="pallas", interpret=True)
+    sb = mean_shift_iterate(x, bw, 50, backend="pallas", bf16=True,
+                            interpret=True)
+    lp = np.asarray(nms(sp, x, bw)[0])
+    lb = np.asarray(nms(sb, x, bw)[0])
+    mapping = {}
+    for a, b in zip(lp.tolist(), lb.tolist()):
+        assert mapping.setdefault(a, b) == b, (a, b, mapping)
+
+
 def test_cluster_level_backend_parity(rng):
     """Full 50-iteration mean-shift: the fused Pallas backend and the
     reference-shaped XLA backend must produce the SAME cluster labels and
