@@ -79,6 +79,12 @@ class Config:
     # ~e^(4e-3/(2 b^2)); off by default pending the label-drift audit
     # (scripts/audit_clustering.py --bf16)
     ms_bf16: bool = False
+    # bf16 activations through the model's conv/GN stacks (f32 params,
+    # f32 GN statistics, f32 logits/embedding outputs, f32 kNN builds).
+    # Halves the encoder's gather/normalize bandwidth — the forward's
+    # main non-top-k cost. Off by default: parity-first; enable for
+    # throughput after the quality gate passes on the target config
+    model_bf16: bool = False
     hpnet_embed: bool = True
     normal_smooth_w: float = 0.5
     spectral_sigma: float = 0.1
@@ -100,7 +106,6 @@ class Config:
 
     # runtime
     gpu: str = ""                # kept for config-file compat; unused on TPU
-    dtype: str = "float32"       # compute dtype for the backbone
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all
 
     def asdict(self) -> dict:

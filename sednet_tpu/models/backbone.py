@@ -34,12 +34,19 @@ class EdgeConv(nn.Module):
     groups: int
     k: int
     negative_slope: float = 0.2
+    # compute dtype (params stay f32). bf16 halves the bandwidth of the
+    # layer's real cost — the (B, N, K, C') gather + GN/max sweeps — and
+    # runs the factored matmuls on the MXU's native input type; GroupNorm
+    # statistics stay f32 (flax upcasts stats for sub-f32 dtypes)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, idx: jax.Array) -> jax.Array:
-        dense = nn.Dense(self.out_channels, use_bias=False, name="conv")
-        f = edge_conv_features(x, idx, dense)  # (B, N, K, C_out)
-        f = nn.GroupNorm(num_groups=self.groups, name="gn")(f)
+        dense = nn.Dense(self.out_channels, use_bias=False, name="conv",
+                         dtype=self.dtype)
+        f = edge_conv_features(x.astype(self.dtype), idx, dense)
+        f = nn.GroupNorm(num_groups=self.groups, name="gn",
+                         dtype=self.dtype)(f)      # (B, N, K, C_out)
         f = nn.leaky_relu(f, negative_slope=self.negative_slope)
         return jnp.max(f, axis=2)  # (B, N, C_out)
 
@@ -56,6 +63,11 @@ class DGCNNEncoder(nn.Module):
     mode: int = 5
     k: int = 64
     normal_metric_w: float = 1.0
+    # compute dtype for the conv/GN stack (opt-in mixed precision,
+    # config.model_bf16). kNN graph builds always run on f32 values —
+    # neighbour selection is a discrete decision we keep independent of
+    # the compute dtype (ties flip under quantization)
+    dtype: jnp.dtype = jnp.float32
     # None = auto (on when the fused TPU kernel serves the kNN builds);
     # tests force True on CPU to pin the permutation-equivariance of the
     # sorted-order path against the unsorted one
@@ -105,17 +117,20 @@ class DGCNNEncoder(nn.Module):
                     **sort_kw)
             else:
                 idx1 = knn_indices(x, self.k, **sort_kw)
-        x1 = EdgeConv(64, groups=2, k=self.k, name="conv1")(x, idx1)
+        x1 = EdgeConv(64, groups=2, k=self.k, dtype=self.dtype,
+                      name="conv1")(x, idx1)
 
-        idx2 = knn_indices(x1, self.k, **sort_kw)
-        x2 = EdgeConv(64, groups=2, k=self.k, name="conv2")(x1, idx2)
+        idx2 = knn_indices(x1.astype(jnp.float32), self.k, **sort_kw)
+        x2 = EdgeConv(64, groups=2, k=self.k, dtype=self.dtype,
+                      name="conv2")(x1, idx2)
 
-        idx3 = knn_indices(x2, self.k, **sort_kw)
-        x3 = EdgeConv(128, groups=2, k=self.k, name="conv3")(x2, idx3)
+        idx3 = knn_indices(x2.astype(jnp.float32), self.k, **sort_kw)
+        x3 = EdgeConv(128, groups=2, k=self.k, dtype=self.dtype,
+                      name="conv3")(x2, idx3)
 
         feats = jnp.concatenate([x1, x2, x3], axis=-1)  # (B, N, 256)
-        h = nn.Dense(1024, name="mlp1")(feats)
-        h = nn.GroupNorm(num_groups=8, name="gn_mlp1")(h)
+        h = nn.Dense(1024, name="mlp1", dtype=self.dtype)(feats)
+        h = nn.GroupNorm(num_groups=8, name="gn_mlp1", dtype=self.dtype)(h)
         h = nn.relu(h)
         global_feat = jnp.max(h, axis=1)  # (B, 1024) — order-invariant
         if use_sort:

@@ -53,6 +53,11 @@ class SEDNet(nn.Module):
     late_fusion: bool = True
     combine_label_prim: bool = True
     predict_normal: bool = False
+    # compute dtype (config.model_bf16): bf16 activations through the
+    # encoder and head stacks with f32 params, f32 GroupNorm statistics
+    # and f32 outputs — the standard TPU mixed-precision recipe. The
+    # reference has no equivalent (f32 CUDA throughout)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points: jax.Array,
@@ -71,54 +76,64 @@ class SEDNet(nn.Module):
         else:
             global_feat, feats = DGCNNEncoder(
                 mode=self.mode, k=self.k,
-                normal_metric_w=self.normal_metric_w, name="encoder",
+                normal_metric_w=self.normal_metric_w, dtype=self.dtype,
+                name="encoder",
             )(points, idx1)
 
+        dt = self.dtype
         x = jnp.concatenate(
-            [jnp.broadcast_to(global_feat[:, None, :],
-                              (points.shape[0], num_points, 1024)), feats],
+            [jnp.broadcast_to(global_feat[:, None, :].astype(dt),
+                              (points.shape[0], num_points, 1024)),
+             feats.astype(dt)],
             axis=-1,
         )  # (B, N, 1280)
-        x = nn.relu(nn.GroupNorm(num_groups=8, name="gn1")(
-            nn.Dense(512, name="conv1")(x)))
-        x_all = nn.relu(nn.GroupNorm(num_groups=4, name="gn2")(
-            nn.Dense(256, name="conv2")(x)))
+        x = nn.relu(nn.GroupNorm(num_groups=8, name="gn1", dtype=dt)(
+            nn.Dense(512, name="conv1", dtype=dt)(x)))
+        x_all = nn.relu(nn.GroupNorm(num_groups=4, name="gn2", dtype=dt)(
+            nn.Dense(256, name="conv2", dtype=dt)(x)))
 
-        # type head
-        x_type = nn.relu(nn.GroupNorm(num_groups=4, name="gn_prim")(
-            nn.Dense(256, name="mlp_prim_prob1")(x_all)))
-        type_logits = nn.Dense(self.num_primitives, name="mlp_prim_prob2")(x_type)
+        # type head. Logits and log-probs leave the model in f32: the
+        # loss/metric stack and log_softmax run full precision
+        x_type = nn.relu(nn.GroupNorm(num_groups=4, name="gn_prim", dtype=dt)(
+            nn.Dense(256, name="mlp_prim_prob1", dtype=dt)(x_all)))
+        type_logits = nn.Dense(self.num_primitives,
+                               name="mlp_prim_prob2")(x_type.astype(
+                                   jnp.float32))
         type_log_prob = jax.nn.log_softmax(type_logits, axis=-1)
 
         # edge head (conv -> GN -> conv, no activation in between:
         # reference SEDNet.py:249-253 Sequential)
         edge_logits = None
         if self.edge_module:
-            e = nn.Dense(128, name="edge_conv1")(x_type)
-            e = nn.GroupNorm(num_groups=4, name="edge_gn")(e)
-            edge_logits = nn.Dense(2, name="edge_conv2")(e)
+            e = nn.Dense(128, name="edge_conv1", dtype=dt)(x_type)
+            e = nn.GroupNorm(num_groups=4, name="edge_gn", dtype=dt)(e)
+            edge_logits = nn.Dense(2, name="edge_conv2")(e.astype(
+                jnp.float32))
 
         # embedding head
-        x = nn.relu(nn.GroupNorm(num_groups=4, name="gn_seg")(
-            nn.Dense(256, name="mlp_seg_prob1")(x_all)))
+        x = nn.relu(nn.GroupNorm(num_groups=4, name="gn_seg", dtype=dt)(
+            nn.Dense(256, name="mlp_seg_prob1", dtype=dt)(x_all)))
         if self.combine_label_prim:
-            asis = nn.relu(nn.GroupNorm(num_groups=4, name="asis_gn")(
-                nn.Dense(256, name="asis_conv")(x_type)))
+            asis = nn.relu(nn.GroupNorm(num_groups=4, name="asis_gn",
+                                        dtype=dt)(
+                nn.Dense(256, name="asis_conv", dtype=dt)(x_type)))
             x = self.w_pos_enc * asis + x
         if self.late_fusion:
             fuse_in = jax.lax.stop_gradient(type_logits)
             if self.edge_module:
                 fuse_in = jnp.concatenate(
                     [fuse_in, jax.lax.stop_gradient(edge_logits)], axis=-1)
-            fuse = nn.relu(nn.Dense(256, name="prim_encoding")(fuse_in))
+            fuse = nn.relu(nn.Dense(256, name="prim_encoding",
+                                    dtype=dt)(fuse_in.astype(dt)))
             x = x + self.w_pos_enc * fuse
-        embedding = nn.Dense(self.emb_size, name="mlp_seg_prob2")(x)
+        embedding = nn.Dense(self.emb_size,
+                             name="mlp_seg_prob2")(x.astype(jnp.float32))
 
         normals_pred = None
         if self.predict_normal:
-            nr = nn.Dense(128, name="normal_conv1")(x_all)
-            nr = nn.GroupNorm(num_groups=4, name="normal_gn")(nr)
-            nr = nn.Dense(3, name="normal_conv2")(nr)
+            nr = nn.Dense(128, name="normal_conv1", dtype=dt)(x_all)
+            nr = nn.GroupNorm(num_groups=4, name="normal_gn", dtype=dt)(nr)
+            nr = nn.Dense(3, name="normal_conv2")(nr.astype(jnp.float32))
             normals_pred = nr / jnp.clip(
                 jnp.linalg.norm(nr, axis=-1, keepdims=True), min=1e-12)
 

@@ -146,3 +146,61 @@ def test_encoder_sorted_path_matches_unsorted():
     g2, f2 = jax.jit(enc_srt.apply)(variables, x, idx1)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sednet_bf16_matches_f32(sednet_vars):
+    """Mixed-precision forward (config.model_bf16): same f32 parameter
+    tree, bf16 activations — outputs must stay f32-typed and within
+    bf16-quantization tolerance of the full-precision forward, and the
+    kNN graphs must be built identically (f32 values by design)."""
+    model, variables, x = sednet_vars
+    ref = jax.jit(model.apply)(variables, x)
+    mb = SEDNet(emb_size=32, num_primitives=6, mode=5, k=K,
+                dtype=jnp.bfloat16)
+    out = jax.jit(mb.apply)(variables, x)
+    assert out.embedding.dtype == jnp.float32
+    assert out.type_log_prob.dtype == jnp.float32
+    assert out.edge_logits.dtype == jnp.float32
+    # activations pass ~10 GN/Dense stages in bf16 (rel step 2^-8);
+    # head outputs are O(1) scaled, so absolute tolerance ~0.15
+    np.testing.assert_allclose(np.asarray(out.embedding),
+                               np.asarray(ref.embedding), atol=0.2)
+    np.testing.assert_allclose(np.asarray(out.type_log_prob),
+                               np.asarray(ref.type_log_prob), atol=0.3)
+
+
+def test_train_step_bf16_runs_and_updates():
+    """A train step with model_bf16: grads flow through the bf16 compute
+    into the f32 params; every param update is finite and f32."""
+    from sednet_tpu.config import Config
+    from sednet_tpu.train import (TrainState, build_model, make_optimizer,
+                                  make_train_step, model_input)
+
+    cfg = Config(num_points=N, knn=K, embed=16, batch_size=B,
+                 model_bf16=True, edge_topk=16)
+    model = build_model(cfg)
+    rng = np.random.RandomState(1)
+    pts = rng.randn(B, N, 3).astype(np.float32)
+    nrm = rng.randn(B, N, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    batch = {"points": pts, "normals": nrm,
+             "labels": rng.randint(0, 3, (B, N)).astype(np.int32),
+             "prim": rng.randint(0, 6, (B, N)).astype(np.int32),
+             "edges": rng.randint(0, 2, (B, N)).astype(np.int32),
+             "edges_w": np.ones((B, N), np.float32)}
+    params = model.init(jax.random.PRNGKey(0),
+                        model_input(batch, True))["params"]
+    opt = make_optimizer(cfg)
+    state = TrainState(params, opt.init(params), 0)
+    step = make_train_step(model, opt, cfg)
+    # the step donates its input state — snapshot before stepping
+    params = jax.tree.map(np.asarray, params)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    leaves = jax.tree.leaves(new_state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # at least some params moved
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+                for a, b in zip(jax.tree.leaves(params), leaves))
+    assert moved > 0
