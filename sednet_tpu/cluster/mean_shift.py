@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sednet_tpu.ops.guard import guard_exp, guard_sqrt
+from sednet_tpu.ops.dispatch import target_backend
 
 
 class MeanShiftResult(NamedTuple):
@@ -72,7 +73,7 @@ def compute_bandwidth(key: jax.Array, x: jax.Array, num_samples: int,
     if method == "auto":
         from sednet_tpu.ops.flash_topk import pallas_topk_supported
 
-        method = ("pallas" if jax.default_backend() == "tpu"
+        method = ("pallas" if target_backend() == "tpu"
                   and pallas_topk_supported(m, x.shape[1], 128) else "xla")
     # torch.topk(k, largest=False)[0][:, -1] is the k-th smallest (self
     # distance 0 included), i.e. sorted index k-1 (mean_shift.py:132-135).
@@ -127,7 +128,7 @@ def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
     reference-shaped fallback; "auto" picks pallas on TPU. interpret runs the
     pallas step in interpreter mode (CPU tests)."""
     if backend == "auto":
-        backend = ("pallas" if jax.default_backend() == "tpu"
+        backend = ("pallas" if target_backend() == "tpu"
                    and kernel_type == "gaussian" else "xla")
 
     if backend == "pallas":

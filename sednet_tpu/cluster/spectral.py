@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sednet_tpu.ops.knn import pairwise_sqdist
+from sednet_tpu.ops.dispatch import target_backend
 
 
 def _round_up(x, m):
@@ -40,7 +41,7 @@ def _neighbor_idx(xyz: jax.Array, k: int, nearest: bool) -> jax.Array:
     from sednet_tpu.ops.knn import _blocked_topk_neighbors
 
     n = xyz.shape[0]
-    if (jax.default_backend() == "tpu"
+    if (target_backend() == "tpu"
             and pallas_topk_supported(n, xyz.shape[1], k)):
         return topk_pallas(xyz, xyz, k, largest=not nearest)
     sign = 1.0 if nearest else -1.0

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from sednet_tpu.ops.flash_topk import pallas_topk_supported
 from sednet_tpu.ops.graph import edge_conv_features
 from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
+from sednet_tpu.ops.dispatch import target_backend
 
 
 class EdgeConv(nn.Module):
@@ -93,7 +94,7 @@ class DGCNNEncoder(nn.Module):
         than feature-PCA does (features are smooth over the surface)."""
         use_sort = self.sort_points
         if use_sort is None:
-            use_sort = (jax.default_backend() == "tpu"
+            use_sort = (target_backend() == "tpu"
                         and pallas_topk_supported(x.shape[1], x.shape[2],
                                                   self.k))
         if use_sort:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from sednet_tpu.models.backbone import DGCNNEncoder
+from sednet_tpu.ops.dispatch import target_backend
 
 
 @flax.struct.dataclass
@@ -158,7 +159,7 @@ def apply_fused(model: SEDNet, variables, points: jax.Array, *,
     from sednet_tpu.ops.fused_edgeconv import encoder_apply_fused
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = target_backend() != "tpu"
     enc = encoder_apply_fused(
         variables["params"]["encoder"], points, mode=model.mode, k=model.k,
         normal_metric_w=model.normal_metric_w, interpret=interpret)

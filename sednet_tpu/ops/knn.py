@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
+from sednet_tpu.ops.dispatch import target_backend
 
 
 def _round_up(x: int, m: int) -> int:
@@ -129,7 +130,7 @@ def _resolve_method(method: str, n: int, dim: int, k: int) -> str:
     at N=10k), XLA "hier" elsewhere or when the problem doesn't fit it."""
     if method != "auto":
         return method
-    if jax.default_backend() == "tpu" and pallas_topk_supported(n, dim, k):
+    if target_backend() == "tpu" and pallas_topk_supported(n, dim, k):
         return "pallas"
     return "hier"
 
@@ -152,7 +153,7 @@ def knn_indices(x: jax.Array, k1: int, k2: int | None = None, *,
     if method == "pallas":
         idx = topk_pallas(x, x, k2, row_block=row_block,
                           spatial_sort=spatial_sort,
-                          interpret=jax.default_backend() != "tpu")
+                          interpret=target_backend() != "tpu")
         return _dilate(idx, k1, k2)
     f = functools.partial(
         _blocked_topk_neighbors,
@@ -189,7 +190,7 @@ def knn_indices_points_normals(
                           normal_metric_w=normal_metric_w,
                           row_block=row_block,
                           spatial_sort=spatial_sort,
-                          interpret=jax.default_backend() != "tpu")
+                          interpret=target_backend() != "tpu")
         return _dilate(idx, k1, k2)
     metric = functools.partial(_points_normals_sqdist, w=normal_metric_w)
     f = functools.partial(

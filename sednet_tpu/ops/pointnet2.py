@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from sednet_tpu.ops.knn import pairwise_sqdist
+from sednet_tpu.ops.dispatch import target_backend
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples",))
@@ -60,7 +61,7 @@ def three_nn(unknown: jax.Array, known: jax.Array):
     the fused Pallas top-k (no N x M matrix in HBM)."""
     from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
 
-    if (jax.default_backend() == "tpu"
+    if (target_backend() == "tpu"
             and pallas_topk_supported(known.shape[1], known.shape[2], 3)):
         idx, d = topk_pallas(unknown, known, 3, return_distances=True)
         return jnp.sqrt(jnp.clip(d, min=0.0)), idx
