@@ -77,7 +77,7 @@ class Config:
     # ~3x MXU throughput on the dominant clustering cost, but bf16
     # quantization of the unit rows perturbs each kernel weight by up to
     # ~e^(4e-3/(2 b^2)); off by default pending the label-drift audit
-    # (scripts/audit_clustering.py --bf16)
+    # (scripts/audit_clustering.py asserts bf16-vs-f32 matched IoU)
     ms_bf16: bool = False
     # bf16 activations through the model's conv/GN stacks (f32 params,
     # f32 GN statistics, f32 logits/embedding outputs, f32 kNN builds).

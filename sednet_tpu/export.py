@@ -67,11 +67,12 @@ def export_forward(model, params, batch_size: int, num_points: int,
     artifact. Default: the current backend.
 
     Kernel dispatch (Pallas vs XLA fallback) is a trace-time decision, so
-    a TPU-only export from a non-TPU host traces under
-    ops.dispatch.force_backend("tpu") to embed the fused-kernel path the
-    artifact will actually want on the serving chip. A multi-platform
-    list keeps the portable XLA path (one jaxpr must serve every listed
-    platform, and the Mosaic calls only lower on TPU).
+    the trace runs under ops.dispatch.force_backend matching the TARGET:
+    a single-platform ["tpu"] export embeds the fused Mosaic kernel path
+    regardless of the exporting host, and a ["cpu"] or multi-platform
+    list forces the portable pure-XLA path (one jaxpr must serve every
+    listed platform, and the Mosaic calls only lower on TPU) — also when
+    exporting FROM a TPU host.
     """
     from sednet_tpu.ops.dispatch import force_backend, target_backend
 
@@ -79,10 +80,12 @@ def export_forward(model, params, batch_size: int, num_points: int,
     spec = jax.ShapeDtypeStruct((batch_size, num_points, channels),
                                 jnp.float32)
     kwargs = {}
+    want = target_backend()
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
-    if platforms == ["tpu"] and target_backend() != "tpu":
-        with force_backend("tpu"):
+        want = platforms[0] if len(platforms) == 1 else "cpu"
+    if want != target_backend():
+        with force_backend(want):
             return jax_export.export(fn, **kwargs)(spec)
     return jax_export.export(fn, **kwargs)(spec)
 

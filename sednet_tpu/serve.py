@@ -9,9 +9,12 @@ its inference is a research script (generate_predictions_aug.py).
 
 Design notes (TPU serving):
   * the artifact's shape is static — requests are padded up to B shapes
-    of N points each (shorter clouds are padded by repeating their last
-    point, a no-op for kNN/type outputs of the real points, and the
-    response slices back to the true lengths);
+    of N points each and the response slices back to the true lengths.
+    Padding repeats the last real point, which is an APPROXIMATION for
+    short clouds: pad copies can enter real points' kNN neighbourhoods
+    and perturb their features (export an artifact at the shape you
+    serve for exact outputs). Clustering always runs on the real-length
+    slice only. Clouds longer than the artifact's N are rejected;
   * stdlib http.server only — zero dependencies beyond jax/numpy;
     single-threaded handler = natural request serialization onto the
     one-chip executor (no device contention);
@@ -37,16 +40,20 @@ import jax.numpy as jnp
 class BundleServer:
     """Wraps a loaded bundle with padding/batching + optional clustering."""
 
-    def __init__(self, bundle_dir: str, *, cluster: bool = False,
-                 ms_quantile: float = 0.015, ms_iterations: int = 50,
-                 max_clusters: int = 49):
+    def __init__(self, bundle_dir: str, *, cluster: bool = False):
+        import dataclasses
+
+        from sednet_tpu.config import Config
         from sednet_tpu.export import load_bundle
 
         self.meta, self.fns = load_bundle(bundle_dir)
         self.cluster = cluster
-        self.ms_quantile = ms_quantile
-        self.ms_iterations = ms_iterations
-        self.max_clusters = max_clusters
+        # clustering knobs come from the bundle's config snapshot — the
+        # server reproduces the predict.py pipeline the bundle's offline
+        # evaluation (and audit) actually ran, hpnet enrichment included
+        known = {f.name for f in dataclasses.fields(Config)}
+        self.cfg = Config(**{k: v for k, v in self.meta["config"].items()
+                             if k in known})
         # exported input spec: "float32[B,N,C]"
         spec = self.meta["models"]["type_model"]["in_avals"][0]
         dims = spec[spec.index("[") + 1:spec.index("]")].split(",")
@@ -66,8 +73,14 @@ class BundleServer:
             if s.ndim != 2 or s.shape[1] != self.channels:
                 raise ValueError(
                     f"shape {i}: expected (n, {self.channels}), got {s.shape}")
-            n = min(s.shape[0], self.num_points)
-            x[i, :n] = s[:n]
+            n = s.shape[0]
+            if n < 1:
+                raise ValueError(f"shape {i}: empty point cloud")
+            if n > self.num_points:
+                raise ValueError(
+                    f"shape {i}: {n} points exceeds the artifact's "
+                    f"{self.num_points} (re-export at a larger shape)")
+            x[i, :n] = s
             if n < self.num_points:   # repeat the last real point
                 x[i, n:] = s[n - 1]
             lengths.append(n)
@@ -89,20 +102,40 @@ class BundleServer:
                     r["edges"] = edges[i, :lengths[i]].tolist()
             if self.cluster:
                 from sednet_tpu.cluster.mean_shift import guard_mean_shift
+                from sednet_tpu.cluster.spectral import hpnet_process
+                from sednet_tpu.predict import spectral_embed
 
+                cfg = self.cfg
                 iout = self.fns["inst_model"](xj)
-                emb = iout["embedding"]
-                emb = emb / jnp.clip(
-                    jnp.linalg.norm(emb, axis=-1, keepdims=True), min=1e-12)
                 self._key, k = jax.random.split(self._key)
                 for i in range(len(shapes)):
+                    # real-length slice ONLY: padded duplicate rows would
+                    # collapse the bandwidth estimate and corrupt labels.
+                    # Distinct lengths compile distinct programs — pad
+                    # client-side to a few bucket sizes if that matters
+                    n = lengths[i]
+                    emb = iout["embedding"][i, :n]
+                    if cfg.hpnet_embed and self.channels >= 6:
+                        v, ent = spectral_embed(xj[i, :n, :3],
+                                                xj[i, :n, 3:6], cfg,
+                                                key=jax.random.fold_in(k, i))
+                        emb = hpnet_process(
+                            emb, xj[i, :n, :3], xj[i, :n, 3:6],
+                            normal_smooth_w=cfg.normal_smooth_w,
+                            cached_eigvecs=v, cached_eig_entropy=ent)
+                    emb = emb / jnp.clip(
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                        min=1e-12)
                     res = guard_mean_shift(
-                        k, emb[i], num_samples=self.num_points,
-                        quantile=self.ms_quantile,
-                        iterations=self.ms_iterations,
-                        max_clusters=self.max_clusters)
+                        jax.random.fold_in(k, i), emb,
+                        num_samples=min(cfg.ms_num_samples, n),
+                        quantile=cfg.ms_quantile,
+                        iterations=cfg.ms_iterations,
+                        max_clusters=cfg.ms_max_clusters - 1,
+                        retry_factor=cfg.ms_retry_factor,
+                        bf16=cfg.ms_bf16)
                     results[i]["instances"] = np.asarray(
-                        res.labels)[:lengths[i]].tolist()
+                        res.labels).tolist()
                     results[i]["num_instances"] = int(res.num_clusters)
         return results
 

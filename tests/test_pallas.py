@@ -86,6 +86,8 @@ def test_mean_shift_step_bf16_close_and_labels_stable(rng):
     mapping = {}
     for a, b in zip(lp.tolist(), lb.tolist()):
         assert mapping.setdefault(a, b) == b, (a, b, mapping)
+    # bijective: bf16 must not merge two f32 clusters either
+    assert len(set(mapping.values())) == len(mapping)
 
 
 def test_cluster_level_backend_parity(rng):

@@ -49,18 +49,28 @@ def test_server_pads_and_slices(bundle):
 def test_server_cluster_labels(bundle):
     d, _, _ = bundle
     srv = BundleServer(d, cluster=True)
-    pts = np.random.RandomState(1).randn(N, 6).astype(np.float32)
+    rng = np.random.RandomState(1)
+    pts = rng.randn(N, 6).astype(np.float32)
+    pts[:, 3:] /= np.linalg.norm(pts[:, 3:], axis=1, keepdims=True)
     out = srv.predict([pts])
     assert len(out[0]["instances"]) == N
     assert out[0]["num_instances"] >= 1
+    # short cloud: clustering runs on the REAL slice only (padded
+    # duplicate rows would collapse the bandwidth estimate)
+    out2 = srv.predict([pts[:N - 40]])
+    assert len(out2[0]["instances"]) == N - 40
 
 
-def test_server_rejects_overbatch(bundle):
+def test_server_rejects_bad_requests(bundle):
     d, _, _ = bundle
     srv = BundleServer(d)
     pts = np.zeros((N, 6), np.float32)
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError):            # over batch
         srv.predict([pts, pts, pts])
+    with pytest.raises(ValueError):            # over length
+        srv.predict([np.zeros((N + 1, 6), np.float32)])
+    with pytest.raises(ValueError):            # empty cloud
+        srv.predict([np.zeros((0, 6), np.float32)])
 
 
 def test_http_round_trip(bundle):
