@@ -203,30 +203,71 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
     return idx, w, jax.lax.rsqrt(deg)
 
 
+def _sorted_transpose_layout(idx: jax.Array, coef: jax.Array):
+    """Once-per-operator layout for scatter-free A^T v.
+
+    Entries e = (src row j, slot kk) with destination idx[j, kk] and
+    coefficient coef[j, kk] are sorted by destination; per-destination
+    segment END offsets come from a bincount cumsum. Everything here is
+    reused across every LOBPCG matvec (~30 per solve), so the one sort
+    amortizes — the per-matvec work becomes pure gathers + one segment
+    reduction, with no scatter in the iteration.
+    Returns (src_sorted (E,), coef_sorted (E,), dest_sorted (E,),
+    ends (N,))."""
+    n, k = idx.shape
+    dest = idx.reshape(-1)
+    order = jnp.argsort(dest)                       # (E,)
+    src = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)).reshape(-1)[order]
+    counts = jnp.zeros((n,), jnp.int32).at[dest].add(1)
+    return src, coef.reshape(-1)[order], dest[order], jnp.cumsum(counts)
+
+
 def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                              key: jax.Array, *, sigma: float = 0.1,
                              knn: int = 50, k: int = 12,
                              iters: int = 10,
-                             idx: jax.Array | None = None) -> jax.Array:
+                             idx: jax.Array | None = None,
+                             transpose_mode: str = "scatter") -> jax.Array:
     """Matrix-free LOBPCG on the symmetrized normalized affinity: never
     materializes the N x N matrix (the N-axis "long-context" plan of
-    SURVEY §5). The matvec uses one gather (A v) and one scatter (A^T v)
-    over the N*k sparse entries."""
+    SURVEY §5). A v is one gather over the N*k sparse entries; A^T v is
+    the hard direction, selected by transpose_mode:
+
+      "scatter"  .at[].add per matvec — the baseline; measured
+                 scatter-BOUND on v5e (478x slower than a dense matvec
+                 at N=2048, ROADMAP r3 item 1);
+      "sorted"   one argsort by destination per OPERATOR (amortized over
+                 the ~3*iters matvecs), then per matvec: gather + one
+                 sorted-segment sum (exact, same f32 sums as scatter).
+
+    A third design (prefix-sum + boundary-gather segment reduction, no
+    segment op at all) was tried and REJECTED: the quirk-mode affinity's
+    rsq spans ~1e6 when farthest-neighbour weights underflow, and the
+    cumsum-difference loses all relative precision on small segments
+    (measured rel-err > 1 on the unit test's 70-point fixture).
+    """
     from jax.experimental.sparse.linalg import lobpcg_standard
 
     n = xyz.shape[0]
     idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn,
                                          idx=idx)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], idx.shape)
+    coef = w * rsq[idx] * rsq[:, None]   # full entry coefficient (N, k)
+    if transpose_mode == "sorted":
+        src_s, coef_s, dest_s, _ = _sorted_transpose_layout(idx, coef)
 
     def matvec(v):  # v: (N, m)
         # A v where A[i, idx[i,j]] = rsq[i] w[i,j] rsq[idx[i,j]]
-        gathered = v[idx] * (w * rsq[idx])[..., None]        # (N, k, m)
-        av = rsq[:, None] * gathered.sum(1)
-        # A^T v: scatter the same entries transposed
-        contrib = (w * rsq[idx])[..., None] * (rsq[:, None] * v)[:, None, :]
-        atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
-            contrib.reshape(-1, v.shape[1]))
+        av = (v[idx] * coef[..., None]).sum(1)               # (N, m)
+        # A^T v: same entries, transposed
+        if transpose_mode == "scatter":
+            contrib = coef[..., None] * v[:, None, :]        # (N, k, m)
+            atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
+                contrib.reshape(-1, v.shape[1]))
+        else:
+            vals = coef_s[:, None] * v[src_s]                # (E, m)
+            atv = jax.ops.segment_sum(vals, dest_s, num_segments=n,
+                                      indices_are_sorted=True)
         return 0.5 * (av + atv)
 
     x0 = jax.random.normal(key, (n, k), jnp.float32)

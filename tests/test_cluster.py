@@ -173,6 +173,52 @@ def test_matfree_matvec_matches_dense(rng):
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
 
 
+def test_matfree_transpose_modes_agree(rng):
+    """The scatter-free A^T v layout ("sorted" segment-sum) must
+    reproduce the scatter baseline: same subspace from LOBPCG and, more
+    directly, the same reduction values as numpy. A cumsum-prefix-diff
+    variant was rejected here — the quirk-mode affinity's rsq ~1e6 range
+    destroys its precision (rel-err > 1 on this very fixture)."""
+    from sednet_tpu.cluster.spectral import (_sorted_transpose_layout,
+                                             normal_affinity_sparse,
+                                             spectral_eigvecs_matfree)
+
+    n, k, m = 70, 9, 5
+    xyz = rng.randn(n, 3).astype(np.float32)
+    nrm = rng.randn(n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    idx, w, rsq = (np.asarray(a) for a in normal_affinity_sparse(
+        jnp.asarray(xyz), jnp.asarray(nrm), k=k))
+    coef = w * rsq[idx] * rsq[:, None]
+    v = rng.randn(n, m).astype(np.float32)
+
+    # numpy reference A^T v
+    atv_ref = np.zeros((n, m), np.float32)
+    np.add.at(atv_ref, idx.reshape(-1),
+              (coef[..., None] * v[:, None, :]).reshape(-1, m))
+
+    src_s, coef_s, dest_s, ends = (np.asarray(a) for a in
+                                   _sorted_transpose_layout(
+                                       jnp.asarray(idx), jnp.asarray(coef)))
+    vals = coef_s[:, None] * v[src_s]
+    atv_sorted = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(vals), jnp.asarray(dest_s), num_segments=n,
+        indices_are_sorted=True))
+    np.testing.assert_allclose(atv_sorted, atv_ref, rtol=2e-4, atol=1e-5)
+
+    base = np.asarray(spectral_eigvecs_matfree(
+        jnp.asarray(xyz), jnp.asarray(nrm), jax.random.PRNGKey(0), knn=k,
+        k=4, iters=15))
+    got = np.asarray(spectral_eigvecs_matfree(
+        jnp.asarray(xyz), jnp.asarray(nrm), jax.random.PRNGKey(0),
+        knn=k, k=4, iters=15, transpose_mode="sorted"))
+    assert got.shape == base.shape and np.isfinite(got).all()
+    # identical operator + identical x0: LOBPCG iterates track each other
+    # up to the A^T v summation-order drift (segment order vs scatter
+    # order), so the row-normalized outputs agree to float-noise level
+    np.testing.assert_allclose(got, base, atol=5e-2)
+
+
 def test_hpnet_process_concat_shapes(rng):
     n = 64
     emb = jnp.asarray(rng.randn(n, 16).astype(np.float32))
