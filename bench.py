@@ -260,6 +260,49 @@ def main():
                   "inst_recall": round(float(np.mean(
                       [r["inst_recall"] for r in res])), 4)})
 
+        # 4d. bf16 fast path: mixed-precision model compute + bf16
+        # mean-shift step on the SAME trained f32 parameters — the
+        # opt-in throughput configuration (config.model_bf16 +
+        # config.ms_bf16). Quality fields in the same record show what
+        # the quantization costs on this batch (the label-parity audit
+        # is scripts/audit_clustering.py)
+        bf_model = build_model(Config(num_points=N_POINTS, knn=64,
+                                      embed=128, model_bf16=True))
+
+        @jax.jit
+        def forward_bf16(v, xx):
+            out = bf_model.apply(v, xx)
+            emb = out.embedding / jnp.clip(
+                jnp.linalg.norm(out.embedding, axis=-1, keepdims=True),
+                min=1e-12)
+            return emb, out.type_log_prob
+
+        @jax.jit
+        def cluster_one_bf16(e, k):
+            return guard_mean_shift(k, e, num_samples=5000, quantile=0.015,
+                                    iterations=50, bf16=True).labels
+
+        def pipeline_bf16(v, xx, key):
+            emb, type_lp = forward_bf16(v, xx)
+            lab = [cluster_one_bf16(emb[i], jax.random.fold_in(key, i))
+                   for i in range(xx.shape[0])]
+            return jnp.stack(lab), type_lp.argmax(-1)
+
+        lab_b, typ_b = pipeline_bf16(variables, x, jax.random.PRNGKey(1))
+        _ = np.asarray(lab_b)
+        t0 = time.time()
+        for i in range(3):
+            lab_b, typ_b = pipeline_bf16(variables, x,
+                                         jax.random.PRNGKey(2 + i))
+        lab_b = np.asarray(lab_b)
+        dt_b = (time.time() - t0) / 3
+        rec_b = {"metric": "bf16 fast path (forward + mean-shift)",
+                 "value": round(BATCH / dt_b, 3), "unit": "shapes/sec/chip"}
+        if weights_tag == "trained":
+            rec_b["inst_iou"], rec_b["type_iou"] = batch_metrics(
+                lab_b, np.asarray(typ_b))
+        emit(rec_b)
+
         # 5. training step (4-term loss)
         from sednet_tpu.train import TrainState, make_optimizer, make_train_step
 
