@@ -329,14 +329,16 @@ def hpnet_process(
 def hpnet_enrich(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
                  key: jax.Array, *, normal_smooth_w: float = 0.5,
                  sigma: float = 0.1, knn: int = 50, eig_k: int = 12,
-                 iters: int = 10, idx: jax.Array | None = None) -> jax.Array:
+                 iters: int = 10, idx: jax.Array | None = None,
+                 transpose_mode: str = "scatter") -> jax.Array:
     """Single-shape hpnet_process (embedding + eigvecs only, the predict-CLI
     call shape, generate_predictions_aug.py:371-377) as one pure in-graph
     function: matrix-free spectral + entropy weighting + L2 normalization.
     Fully vmappable/shardable — the batched predict path vmaps this across
     the shape axis (reference loops shapes one at a time)."""
     v = spectral_eigvecs_matfree(xyz, normals, key, sigma=sigma, knn=knn,
-                                 k=eig_k, iters=iters, idx=idx)
+                                 k=eig_k, iters=iters, idx=idx,
+                                 transpose_mode=transpose_mode)
     e = jnp.concatenate([emb * (1.7 - compute_entropy(emb)),
                          v * (normal_smooth_w - compute_entropy(v))], -1)
     return e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True),

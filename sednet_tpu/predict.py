@@ -199,14 +199,19 @@ def spectral_embed(xyz, normals, cfg: Config, shape_id=None,
 
 
 @functools.partial(jax.jit, static_argnames=("normal_smooth_w", "sigma",
-                                             "knn", "eig_k"))
+                                             "knn", "eig_k",
+                                             "transpose_mode"))
 def _hpnet_enrich_batch(emb, xyz, normals, keys, normal_smooth_w: float,
-                        sigma: float, knn: int, eig_k: int):
+                        sigma: float, knn: int, eig_k: int,
+                        transpose_mode: str = "scatter"):
     """Vmapped in-graph hpnet enrichment (matrix-free spectral) — shards
     over the shape axis of a device mesh, lifting the round-2 limitation
-    where hpnet forced per-shape host dispatch (VERDICT r2 weak #1)."""
+    where hpnet forced per-shape host dispatch (VERDICT r2 weak #1).
+    transpose_mode selects the A^T v layout of the matfree matvec
+    (spectral.spectral_eigvecs_matfree)."""
     f = functools.partial(hpnet_enrich, normal_smooth_w=normal_smooth_w,
-                          sigma=sigma, knn=knn, eig_k=eig_k)
+                          sigma=sigma, knn=knn, eig_k=eig_k,
+                          transpose_mode=transpose_mode)
     return jax.vmap(f)(emb, xyz, normals, keys)
 
 
