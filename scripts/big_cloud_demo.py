@@ -29,6 +29,10 @@ def main():
     p.add_argument("--embed", type=int, default=16)
     p.add_argument("--iterations", type=int, default=5)
     p.add_argument("--segments", type=int, default=6)
+    p.add_argument("--hpnet", action="store_true",
+                   help="reference-default eval enrichment (spectral + "
+                        "entropy weighting, sorted-transpose matfree) on "
+                        "the sharded cloud before clustering")
     args = p.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -63,7 +67,8 @@ def main():
     t0 = time.time()
     labels, num, types, _ = big_cloud_segment(
         params, x, mesh, jax.random.PRNGKey(1), k=args.k,
-        iterations=args.iterations, bandwidth_samples=min(5000, n))
+        iterations=args.iterations, bandwidth_samples=min(5000, n),
+        hpnet=args.hpnet)
     labels = np.asarray(labels)
     types = np.asarray(types)
     dt = time.time() - t0

@@ -149,10 +149,21 @@ def big_sednet_forward(params, x: jax.Array, mesh: Mesh, *, k: int = 64,
 def big_cloud_segment(params, x: jax.Array, mesh: Mesh, key, *, k: int = 64,
                       mode: int = 5, normal_metric_w: float = 1.0,
                       quantile: float = 0.015, iterations: int = 50,
-                      bandwidth_samples: int = 5000):
+                      bandwidth_samples: int = 5000,
+                      hpnet: bool = False, normal_smooth_w: float = 0.5,
+                      spectral_sigma: float = 0.1, spectral_knn: int = 50,
+                      spectral_eigvecs: int = 12):
     """End-to-end big-cloud instance segmentation: sharded forward ->
-    row-sharded mean-shift -> blocked NMS. Returns (labels (N,) int32,
-    num_clusters, type_pred (N,), edge_logits).
+    (optional hpnet spectral enrichment) -> row-sharded mean-shift ->
+    blocked NMS. Returns (labels (N,) int32, num_clusters, type_pred (N,),
+    edge_logits).
+
+    hpnet=True runs the reference-DEFAULT eval enrichment
+    (generate_predictions_aug.py:58,371-377) on the sharded cloud: the
+    spectral kNN / entropy passes are blocked streaming programs and the
+    matfree LOBPCG uses the sorted-segment transpose layout, so GSPMD
+    shards them with all-gathers instead of materializing N x N anywhere
+    (requires mode 5 — normals ride x[:, 3:6]).
 
     The reference pipeline peaks at O(N^2) memory on one device
     (generate_predictions_aug.py + src/mean_shift.py); here peak per-device
@@ -163,8 +174,23 @@ def big_cloud_segment(params, x: jax.Array, mesh: Mesh, key, *, k: int = 64,
 
     out = big_sednet_forward(params, x, mesh, k=k, mode=mode,
                              normal_metric_w=normal_metric_w)
-    emb = out.embedding / jnp.clip(
-        jnp.linalg.norm(out.embedding, axis=-1, keepdims=True), min=1e-12)
+    if hpnet:
+        from sednet_tpu.cluster.spectral import hpnet_enrich
+
+        if x.shape[-1] < 6:
+            raise ValueError("hpnet enrichment needs normals (mode 5 input)")
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+        key, ekey = jax.random.split(key)
+        emb = hpnet_enrich(out.embedding, x[:, :3], x[:, 3:6], ekey,
+                           normal_smooth_w=normal_smooth_w,
+                           sigma=spectral_sigma, knn=spectral_knn,
+                           eig_k=spectral_eigvecs,
+                           transpose_mode="sorted")
+        emb = lax.with_sharding_constraint(emb, shard)
+    else:
+        emb = out.embedding / jnp.clip(
+            jnp.linalg.norm(out.embedding, axis=-1, keepdims=True),
+            min=1e-12)
     bw = jnp.clip(compute_bandwidth(
         key, emb, min(bandwidth_samples, x.shape[0]),
         jnp.float32(quantile)), min=0.003)

@@ -140,3 +140,50 @@ def test_big_cloud_segment_end_to_end(rng):
     assert 1 <= int(num) <= n
     assert labels.min() >= 0 and labels.max() < int(num)
     assert np.asarray(types).shape == (n,)
+
+
+def test_big_cloud_segment_hpnet_matches_single_device(rng):
+    """hpnet=True on the sharded path must reproduce the single-device
+    enrichment + clustering: same hpnet_enrich math (sorted-transpose
+    matfree spectral) on the same forward embedding, so the label
+    partition agrees up to collective reduction-order noise."""
+    import jax.numpy as jnp
+
+    from sednet_tpu.cluster.mean_shift import compute_bandwidth, nms, \
+        mean_shift_iterate
+    from sednet_tpu.cluster.spectral import hpnet_enrich
+    from sednet_tpu.data import make_synthetic_shape
+    from sednet_tpu.models import SEDNet
+    from sednet_tpu.parallel import big_cloud_segment, big_sednet_forward, \
+        make_mesh
+
+    n, k = 512, 8
+    mesh = make_mesh(8)
+    model = SEDNet(mode=5, k=k, emb_size=16)
+    d = make_synthetic_shape(rng, n_points=n, n_segments=4)
+    x = jnp.asarray(np.concatenate(
+        [d["points"], d["normals"]], -1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[None])["params"]
+
+    key = jax.random.PRNGKey(1)
+    labels, num, _, _ = big_cloud_segment(
+        params, x, mesh, key, k=k, iterations=10, bandwidth_samples=n,
+        hpnet=True, spectral_knn=12, spectral_eigvecs=4)
+    labels = np.asarray(labels)
+    assert labels.shape == (n,)
+    assert 1 <= int(num) <= n
+
+    # single-device reference with the same keys
+    out = big_sednet_forward(params, x, mesh, k=k, mode=5)
+    _, ekey = jax.random.split(key)
+    emb = hpnet_enrich(np.asarray(out.embedding), x[:, :3], x[:, 3:6],
+                       ekey, knn=12, eig_k=4, transpose_mode="sorted")
+    bw = jnp.clip(compute_bandwidth(key, emb, n, jnp.float32(0.015)),
+                  min=0.003)
+    shifted = mean_shift_iterate(emb, bw, 10)
+    ref_labels = np.asarray(nms(shifted, emb, bw)[0])
+    # identical partition (compact ids may permute)
+    mapping = {}
+    for a, b in zip(labels.tolist(), ref_labels.tolist()):
+        assert mapping.setdefault(a, b) == b, (a, b)
+    assert len(set(mapping.values())) == len(mapping)
