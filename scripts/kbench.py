@@ -74,16 +74,43 @@ def main():
         e = jnp.asarray(emb)
         bw = jnp.float32(0.05)
 
-        for backend in ("pallas", "xla"):
-            def make(iters, backend=backend):
+        for backend, bf16 in (("pallas", False), ("pallas", True),
+                              ("xla", False)):
+            def make(iters, backend=backend, bf16=bf16):
                 @jax.jit
                 def f():
                     o = mean_shift_iterate(e, bw, iterations=iters,
-                                           backend=backend)
+                                           backend=backend, bf16=bf16)
                     return jnp.sum(o[0])
                 return f
-            print(f"mean_shift step [{backend:6s}]     "
+            tag = backend + ("/bf16" if bf16 else "")
+            print(f"mean_shift step [{tag:11s}] "
                   f"{per_step_ms(make):8.2f} ms/iter")
+
+    if args.what in ("all", "spectral"):
+        # matfree transpose-mode A/B vs the dense build+solve (the N>16k
+        # escape hatch; scatter measured 478x slower than dense at
+        # N=2048 round-3 — the sorted layout is the candidate fix)
+        from sednet_tpu.cluster.spectral import (normal_affinity_topk,
+                                                 spectral_eigvecs,
+                                                 spectral_eigvecs_matfree)
+
+        xyz = jnp.asarray(cad_cloud(rng, n))
+        nr = rng.normal(0, 1, (n, 3)).astype(np.float32)
+        nr /= np.linalg.norm(nr, axis=1, keepdims=True)
+        nrj = jnp.asarray(nr)
+        key = jax.random.PRNGKey(0)
+
+        def dense():
+            return np.asarray(spectral_eigvecs(
+                normal_affinity_topk(xyz, nrj), key)[0, 0])
+
+        print(f"spectral dense aff+lobpcg    {timeit(dense) * 1e3:8.1f} ms")
+        for mode in ("scatter", "sorted"):
+            def mf(mode=mode):
+                return np.asarray(spectral_eigvecs_matfree(
+                    xyz, nrj, key, transpose_mode=mode)[0, 0])
+            print(f"spectral matfree [{mode:8s}] {timeit(mf) * 1e3:8.1f} ms")
 
 
 if __name__ == "__main__":

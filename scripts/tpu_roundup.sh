@@ -17,33 +17,10 @@ LOG=/tmp/tpu_roundup.log
 PYTHONPATH=/root/repo:/root/.axon_site python scripts/audit_clustering.py \
     2>&1 | tail -3 | tee -a "$LOG"
 
-PYTHONPATH=/root/repo:/root/.axon_site python - 2>&1 <<'EOF' | tail -6 | tee -a "$LOG"
-import time, numpy as np, jax, jax.numpy as jnp
-from sednet_tpu.cluster.spectral import (normal_affinity_topk,
-                                         spectral_eigvecs,
-                                         spectral_eigvecs_matfree)
-rng = np.random.default_rng(0)
-n = 10000
-xyz = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
-nrm = rng.normal(size=(n, 3)).astype(np.float32)
-nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
-nrm = jnp.asarray(nrm)
-key = jax.random.PRNGKey(0)
-
-def t(fn, reps=3):
-    np.asarray(fn()); ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter(); np.asarray(fn())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-td = t(lambda: spectral_eigvecs(normal_affinity_topk(xyz, nrm), key))
-print("dense affinity+LOBPCG      %.3f s" % td)
-for mode in ("scatter", "sorted"):
-    tm = t(lambda m=mode: spectral_eigvecs_matfree(xyz, nrm, key,
-                                                   transpose_mode=m))
-    print("matfree transpose=%-8s %.3f s" % (mode, tm))
-EOF
+PYTHONPATH=/root/repo:/root/.axon_site python scripts/kbench.py --what spectral \
+    2>&1 | tail -4 | tee -a "$LOG"
+PYTHONPATH=/root/repo:/root/.axon_site python scripts/kbench.py --what ms \
+    2>&1 | tail -4 | tee -a "$LOG"
 
 python bench.py --all 2>&1 | tee /tmp/bench_all.log | grep '^{' | tee -a "$LOG"
 
