@@ -73,6 +73,18 @@ def main():
     types = np.asarray(types)
     dt = time.time() - t0
 
+    # the metric stack's one-hot caps at 50 clusters (reference
+    # segment_utils.py:536); random-init weights can blow past it — fold
+    # overflow labels into the most-populated cluster, like the guarded
+    # mean-shift cap does (cluster/mean_shift.py)
+    if int(num) > 49:
+        keep = np.argsort(-np.bincount(labels, minlength=int(num)))[:49]
+        remap = np.full(int(num), -1, np.int64)
+        remap[keep] = np.arange(49)
+        folded = remap[labels]
+        folded[folded < 0] = 0
+        labels = folded.astype(labels.dtype)
+        num = labels.max() + 1
     w = to_one_hot(labels, max(int(num), 1))
     s_iou, p_iou, _, _, _ = siou_matched_segments(
         d["labels"].astype(np.int64), labels.astype(np.int64),

@@ -65,7 +65,9 @@ def main():
     rec = {k: round(summary[k], 4)
            for k in ("inst_iou", "type_iou", "inst_recall")}
     rec["floors"] = FLOORS
-    failed = [k for k, floor in FLOORS.items() if summary[k] < floor]
+    # `not >=` (rather than `<`) so a NaN metric FAILS the gate instead of
+    # slipping past the comparison
+    failed = [k for k, floor in FLOORS.items() if not (summary[k] >= floor)]
     rec["status"] = "FAIL" if failed else "PASS"
     rec["failed"] = failed
     print("QUALITY_GATE " + json.dumps(rec))

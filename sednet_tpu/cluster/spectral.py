@@ -36,7 +36,12 @@ def _neighbor_idx(xyz: jax.Array, k: int, nearest: bool) -> jax.Array:
     """(N, 3) -> (N, k) neighbour indices (farthest by default — see module
     docstring). Uses the fused Pallas top-k on TPU; elsewhere a row-blocked
     streaming top-k — neither path materializes N x N in HBM (the dense
-    matrix is 400 MB at the reference's N=10k)."""
+    matrix is 400 MB at the reference's N=10k).
+
+    Tie order at EQUAL distances (coincident points) is backend-dependent
+    here, as it is in the reference (torch.topk makes no tie guarantee
+    either) — the affinity an exact tie flips is the same weight value,
+    so only exact-duplicate bookkeeping can differ, never the math."""
     from sednet_tpu.ops.flash_topk import pallas_topk_supported, topk_pallas
     from sednet_tpu.ops.knn import _blocked_topk_neighbors
 
@@ -324,6 +329,23 @@ def hpnet_process(
         weights.append(0.25 - compute_entropy(t))
 
     return jnp.concatenate([p * w for p, w in zip(parts, weights)], axis=-1)
+
+
+def hpnet_enrich_dense(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
+                       key: jax.Array, *, normal_smooth_w: float = 0.5,
+                       sigma: float = 0.1, knn: int = 50, eig_k: int = 12,
+                       iters: int = 10) -> jax.Array:
+    """hpnet_enrich through the DENSE affinity + LOBPCG — the TPU-fast
+    solver while the N x N matrix fits HBM (config.spectral_dense_max_n;
+    the matfree matvec measured 478x slower per solve at N=2048 on v5e).
+    Pure and vmappable: the sharded predict path vmaps this across the
+    shape axis when the auto policy picks dense."""
+    aff = normal_affinity_topk(xyz, normals, sigma=sigma, k=knn)
+    v = spectral_eigvecs(aff, key, k=eig_k, iters=iters)
+    e = jnp.concatenate([emb * (1.7 - compute_entropy(emb)),
+                         v * (normal_smooth_w - compute_entropy(v))], -1)
+    return e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                        min=1e-12)
 
 
 def hpnet_enrich(emb: jax.Array, xyz: jax.Array, normals: jax.Array,

@@ -121,8 +121,13 @@ def make_synthetic_shape(rng, n_points: int = 10000, n_segments: int | None = No
             a = points[own[c0:c0 + 4096]]
             d2 = ((a ** 2).sum(1)[:, None] + osq[None, :]
                   - 2.0 * (a @ other.T))
+            # the |a|^2+|b|^2-2ab form carries ~1e-7 absolute error —
+            # several percent RELATIVE at boundary distances ~1e-3,
+            # enough to flip labels at the threshold. Use it only to
+            # pick the argmin, then recompute that one distance exactly
+            j = d2.argmin(1)
             min_other[own[c0:c0 + 4096]] = np.sqrt(
-                np.clip(d2.min(1), 0.0, None))
+                ((a - other[j]) ** 2).sum(1))
     thresh = max(edge_radius, float(np.percentile(min_other, 8)))
     edges = (min_other < thresh).astype(np.int32)
     edges_w = np.ones(n_points, np.float32)

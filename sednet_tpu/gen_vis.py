@@ -41,9 +41,11 @@ def gen_vis(src: str, shape_id) -> dict:
 
 
 def _one(src, dst, shape_id):
-    for kind, arr in gen_vis(src, shape_id).items():
+    out = gen_vis(src, shape_id)
+    for kind, arr in out.items():
         np.savetxt(os.path.join(dst, f"{shape_id}_{kind}.txt"), arr,
                    delimiter=";", fmt="%0.4f")
+    return out
 
 
 def gen_total_vis(src: str, ids=None, workers: int = 8,
@@ -58,13 +60,14 @@ def gen_total_vis(src: str, ids=None, workers: int = 8,
         ids = sorted({f.split("_")[0] for f in os.listdir(src)
                       if f.endswith("_type.txt") and "GT" not in f})
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(lambda i: _one(src, dst, i), ids))
+        outs = list(ex.map(lambda i: _one(src, dst, i), ids))
     if images and ids:
         from sednet_tpu.utils import render_pointclouds_grid
 
+        # reuse the arrays the pool just computed — no second load pass
         by_kind: dict[str, list] = {}
-        for i in ids:
-            for kind, arr in gen_vis(src, i).items():
+        for out in outs:
+            for kind, arr in out.items():
                 by_kind.setdefault(kind, []).append(arr)
         for kind, arrs in by_kind.items():
             render_pointclouds_grid(

@@ -215,6 +215,21 @@ def _hpnet_enrich_batch(emb, xyz, normals, keys, normal_smooth_w: float,
     return jax.vmap(f)(emb, xyz, normals, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("normal_smooth_w", "sigma",
+                                             "knn", "eig_k"))
+def _hpnet_enrich_batch_dense(emb, xyz, normals, keys,
+                              normal_smooth_w: float, sigma: float,
+                              knn: int, eig_k: int):
+    """Dense-affinity counterpart of _hpnet_enrich_batch — the TPU-fast
+    solver while N x N fits HBM (cfg.spectral_matfree auto policy)."""
+    from sednet_tpu.cluster.spectral import hpnet_enrich_dense
+
+    f = functools.partial(hpnet_enrich_dense,
+                          normal_smooth_w=normal_smooth_w,
+                          sigma=sigma, knn=knn, eig_k=eig_k)
+    return jax.vmap(f)(emb, xyz, normals, keys)
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "iterations"))
 def _cluster_shapes_xla(keys, emb, quantile, num_samples: int,
                         iterations: int):
@@ -290,11 +305,19 @@ def predict_shapes(
     deferred_puts = []
     if cfg.hpnet_embed:
         if mesh is not None:
-            # in-graph vmapped enrichment (matrix-free spectral) sharded
-            # over the shape axis; the per-shape disk cache is bypassed —
-            # everything stays on device
+            # in-graph vmapped enrichment sharded over the shape axis;
+            # the per-shape disk cache is bypassed — everything stays on
+            # device. Solver follows the same auto policy as
+            # spectral_embed: dense affinity+LOBPCG while N x N fits HBM
+            # (the matfree matvec is scatter-bound on TPU, config.py),
+            # matrix-free beyond
             keys_e = jax.random.split(jax.random.fold_in(key, 2000), b)
-            emb_n = _hpnet_enrich_batch(
+            matfree = cfg.spectral_matfree
+            if matfree is None:
+                matfree = x.shape[1] > cfg.spectral_dense_max_n
+            enrich = (_hpnet_enrich_batch if matfree
+                      else _hpnet_enrich_batch_dense)
+            emb_n = enrich(
                 embedding, xyz, norm_j, keys_e,
                 normal_smooth_w=cfg.normal_smooth_w,
                 sigma=cfg.spectral_sigma, knn=cfg.spectral_knn,
