@@ -85,6 +85,11 @@ class Config:
     # main non-top-k cost. Off by default: parity-first; enable for
     # throughput after the quality gate passes on the target config
     model_bf16: bool = False
+    # training stability levers (beyond the reference, which has neither;
+    # motivated by the measured cross-seed inst_iou spread of the
+    # production-scale 10k-pt config — ROADMAP round-3 item 3). 0 = off.
+    warmup_steps: int = 0    # linear lr ramp 0 -> lr over this many steps
+    grad_clip: float = 0.0   # global-norm clip before the adam moments
     hpnet_embed: bool = True
     normal_smooth_w: float = 0.5
     spectral_sigma: float = 0.1

@@ -75,6 +75,12 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     else:
         opt = optax.inject_hyperparams(optax.adamw)(
             learning_rate=cfg.lr, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip > 0:
+        # stability lever for production-scale (10k-pt) runs: the triplet
+        # loss's hard-negative spikes are the suspected source of the
+        # cross-seed inst_iou spread (ROADMAP round-3 item 3); clip BEFORE
+        # the adam moments so a single spiked batch can't poison them
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
     return opt
 
 
@@ -184,7 +190,13 @@ class CosineScheduler:
 
 
 def set_learning_rate(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Mutate the injected learning_rate hyperparam in place. Handles both
+    a bare inject_hyperparams state and the (clip, inject) chain tuple
+    that cfg.grad_clip > 0 produces."""
+    target = opt_state
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+        target = next(s for s in opt_state if hasattr(s, "hyperparams"))
+    target.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 
@@ -387,6 +399,10 @@ def train(cfg: Config, *, data_root: str = ".", max_steps: int | None = None,
         for batch in loader:
             batch = shard_batch(batch, mesh)
             key, step_key = jax.random.split(key)
+            if cfg.warmup_steps and step < cfg.warmup_steps:
+                state = state._replace(opt_state=set_learning_rate(
+                    state.opt_state,
+                    cfg.lr * (step + 1) / cfg.warmup_steps))
             state, metrics = train_step(state, batch, step_key)
             train_accum.append(jax.device_get(metrics))
             step += 1

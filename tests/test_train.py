@@ -136,3 +136,42 @@ def test_cosine_scheduler_matches_torch():
         got = sched.step(0.0)
         want = opt.param_groups[0]["lr"]
         assert abs(got - want) < 1e-12, (sched.t, got, want)
+
+
+def test_warmup_and_grad_clip(tmp_path):
+    """cfg.warmup_steps ramps the injected lr linearly; cfg.grad_clip wraps
+    the optimizer in a global-norm clip whose chained state
+    set_learning_rate still reaches."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from sednet_tpu.config import load_config
+    from sednet_tpu.data import write_edge_h5, write_parsenet_h5
+    from sednet_tpu.train import make_optimizer, set_learning_rate, train
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "config_test_tiny.yml"))
+    cfg = dataclasses.replace(cfg, warmup_steps=4, grad_clip=1.0)
+
+    # unit level: clipped chain state still takes lr overrides, and a
+    # huge gradient is clipped to the requested global norm
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.zeros((3,))}
+    st = opt.init(params)
+    st = set_learning_rate(st, 0.5)
+    grads = {"w": jnp.full((3,), 1e6)}
+    updates, _ = opt.update(grads, st, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    root = str(tmp_path / "d")
+    write_parsenet_h5(root, n_shapes=8, n_points=128)
+    write_edge_h5(root, n_shapes=4, n_points=128)
+    run = str(tmp_path / "r")
+    state, history = train(cfg, data_root=root, max_steps=6, run_dir=run)
+    # eval fires at step 6 (eval_T=6): warmup over, scheduler lr = cfg.lr
+    assert history[-1]["lr"] == cfg.lr
+    assert np.isfinite(history[-1]["TrL"])
