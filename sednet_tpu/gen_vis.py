@@ -41,10 +41,12 @@ def gen_vis(src: str, shape_id) -> dict:
 
 
 def _one(src, dst, shape_id):
+    from sednet_tpu.data.native import savetxt_fast
+
     out = gen_vis(src, shape_id)
     for kind, arr in out.items():
-        np.savetxt(os.path.join(dst, f"{shape_id}_{kind}.txt"), arr,
-                   delimiter=";", fmt="%0.4f")
+        savetxt_fast(os.path.join(dst, f"{shape_id}_{kind}.txt"), arr,
+                     delimiter=";", fmt="%0.4f")
     return out
 
 

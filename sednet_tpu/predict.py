@@ -435,26 +435,28 @@ def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict,
                        save_gt: bool = True):
     """txt dumps matching the reference's vocabulary
     (generate_predictions_aug.py:416-437)."""
+    from sednet_tpu.data.native import savetxt_fast as np_savetxt
+
     os.makedirs(out_dir, exist_ok=True)
-    np.savetxt(os.path.join(out_dir, f"{shape_id}_inst.txt"),
+    np_savetxt(os.path.join(out_dir, f"{shape_id}_inst.txt"),
                result["cluster_ids"], fmt="%d")
-    np.savetxt(os.path.join(out_dir, f"{shape_id}_type.txt"),
+    np_savetxt(os.path.join(out_dir, f"{shape_id}_type.txt"),
                result["pred_primitives"], fmt="%d")
     if save_gt:
-        np.savetxt(os.path.join(out_dir, f"{shape_id}_GT_inst.txt"),
+        np_savetxt(os.path.join(out_dir, f"{shape_id}_GT_inst.txt"),
                    batch_i["labels"], fmt="%d")
-        np.savetxt(os.path.join(out_dir, f"{shape_id}_GT_type.txt"),
+        np_savetxt(os.path.join(out_dir, f"{shape_id}_GT_type.txt"),
                    batch_i["prim"], fmt="%d")
     pts = batch_i["points"]
-    np.savetxt(os.path.join(out_dir, f"{shape_id}_Vis_type.txt"),
+    np_savetxt(os.path.join(out_dir, f"{shape_id}_Vis_type.txt"),
                visual_labels(pts, result["pred_primitives"]),
                fmt="%0.4f", delimiter=";")
-    np.savetxt(os.path.join(out_dir, f"{shape_id}_Vis_inst.txt"),
+    np_savetxt(os.path.join(out_dir, f"{shape_id}_Vis_inst.txt"),
                visual_labels(pts, result["cluster_ids"]),
                fmt="%0.4f", delimiter=";")
-    np.savetxt(os.path.join(out_dir, f"{shape_id}_edge.txt"),
+    np_savetxt(os.path.join(out_dir, f"{shape_id}_edge.txt"),
                result["edge_prob"], fmt="%0.4f", delimiter=";")
-    np.savetxt(os.path.join(out_dir, f"{shape_id}_GT_points.txt"),
+    np_savetxt(os.path.join(out_dir, f"{shape_id}_GT_points.txt"),
                np.concatenate([pts, batch_i["normals"]], -1),
                fmt="%0.4f", delimiter=";")
 

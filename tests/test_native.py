@@ -68,3 +68,27 @@ def test_native_pca_align_degenerate_parallel_axis():
                                      seed=0, threads=1)
     ext = out[0].max(0) - out[0].min(0)
     assert ext.max() > 0.5, ext
+
+
+def test_savetxt_fast_matches_numpy(tmp_path):
+    """The native dump writer must produce byte-identical files to
+    np.savetxt for the two formats the predict dump vocabulary uses
+    ("%d" and "%0.4f" with ";"), including 1-D inputs and negative
+    values, and silently fall back for unsupported formats."""
+    import numpy as np
+
+    from sednet_tpu.data import native
+
+    rng = np.random.RandomState(0)
+    cases = [
+        (rng.randn(257, 6).astype(np.float32), "%0.4f", ";"),
+        (rng.randn(100).astype(np.float32), "%0.4f", ";"),
+        (rng.randint(-3, 50, (257,)).astype(np.int64), "%d", " "),
+        (rng.randn(40, 2).astype(np.float32), "%.6e", ";"),  # fallback
+    ]
+    for i, (arr, fmt, delim) in enumerate(cases):
+        fa = str(tmp_path / f"fast_{i}.txt")
+        fb = str(tmp_path / f"ref_{i}.txt")
+        native.savetxt_fast(fa, arr, fmt=fmt, delimiter=delim)
+        np.savetxt(fb, arr, fmt=fmt, delimiter=delim)
+        assert open(fa).read() == open(fb).read(), (i, fmt)
