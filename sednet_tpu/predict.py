@@ -537,6 +537,12 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
     key = jax.random.PRNGKey(cfg.seed)
     all_metrics = []
     sid = starts
+    # dumps overlap the next batch's device work: the native writer's
+    # ctypes call releases the GIL, so a small pool genuinely parallelizes
+    import concurrent.futures as _cf
+
+    dump_pool = _cf.ThreadPoolExecutor(max_workers=4) if save_viz else None
+    dump_futs = []
     for batch in loader:
         b = batch["points"].shape[0]
         pad = 0
@@ -564,12 +570,18 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
             all_metrics.append(r)
             item = {k: batch[k][i] for k in batch}
             if save_viz:
-                save_shape_outputs(out_dir, ids[i], item, r)
+                dump_futs.append(dump_pool.submit(
+                    save_shape_outputs, out_dir, ids[i], item, r))
             if postproc:
                 run_postproc(out_dir, ids[i], item, r)
         sid += len(results)
         if limit and sid - starts >= limit:
             break
+
+    if dump_pool is not None:
+        for f in dump_futs:
+            f.result()   # surface any dump IO error
+        dump_pool.shutdown()
 
     summary = {
         "inst_iou": float(np.mean([m["inst_iou"] for m in all_metrics])),
