@@ -318,6 +318,10 @@ int sednet_dump_f32(const char* path, const float* data, int64_t rows,
       auto res = std::to_chars(tmp, tmp + sizeof tmp,
                                static_cast<double>(data[r * cols + c]),
                                std::chars_format::fixed, decimals);
+      if (res.ec != std::errc()) {  // buffer overflow (huge precision):
+        std::fclose(f);             // error out so the caller falls back
+        return -1;
+      }
       buf.insert(buf.end(), tmp, res.ptr);
       buf.push_back(c + 1 < cols ? delim : '\n');
     }

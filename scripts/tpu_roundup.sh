@@ -22,7 +22,7 @@ PYTHONPATH=/root/repo:/root/.axon_site python scripts/kbench.py --what spectral 
 PYTHONPATH=/root/repo:/root/.axon_site python scripts/kbench.py --what ms \
     2>&1 | tail -4 | tee -a "$LOG"
 
-python bench.py --all 2>&1 | tee /tmp/bench_all.log | grep '^{' | tee -a "$LOG"
+PYTHONPATH=/root/repo:/root/.axon_site python bench.py --all 2>&1 | tee /tmp/bench_all.log | grep '^{' | tee -a "$LOG"
 
 PYTHONPATH=/root/repo:/root/.axon_site python - 2>&1 <<'EOF' | tail -3 | tee -a "$LOG"
 import tempfile, numpy as np, jax, jax.numpy as jnp

@@ -254,6 +254,8 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
     """
     from jax.experimental.sparse.linalg import lobpcg_standard
 
+    if transpose_mode not in ("scatter", "sorted"):
+        raise ValueError(f"unknown transpose_mode {transpose_mode!r}")
     n = xyz.shape[0]
     idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn,
                                          idx=idx)
@@ -331,6 +333,18 @@ def hpnet_process(
     return jnp.concatenate([p * w for p, w in zip(parts, weights)], axis=-1)
 
 
+def _entropy_weighted_concat(emb, v, normal_smooth_w):
+    """Shared enrichment tail: entropy weighting + concat + L2 norm
+    (generate_predictions_aug.py:371-377). ONE implementation — the auto
+    policy switches solvers by N, so any weighting drift between the
+    dense and matfree variants would make enrichment depend on which
+    side of spectral_dense_max_n a shape falls."""
+    e = jnp.concatenate([emb * (1.7 - compute_entropy(emb)),
+                         v * (normal_smooth_w - compute_entropy(v))], -1)
+    return e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True),
+                        min=1e-12)
+
+
 def hpnet_enrich_dense(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
                        key: jax.Array, *, normal_smooth_w: float = 0.5,
                        sigma: float = 0.1, knn: int = 50, eig_k: int = 12,
@@ -342,10 +356,7 @@ def hpnet_enrich_dense(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
     shape axis when the auto policy picks dense."""
     aff = normal_affinity_topk(xyz, normals, sigma=sigma, k=knn)
     v = spectral_eigvecs(aff, key, k=eig_k, iters=iters)
-    e = jnp.concatenate([emb * (1.7 - compute_entropy(emb)),
-                         v * (normal_smooth_w - compute_entropy(v))], -1)
-    return e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True),
-                        min=1e-12)
+    return _entropy_weighted_concat(emb, v, normal_smooth_w)
 
 
 def hpnet_enrich(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
@@ -361,7 +372,4 @@ def hpnet_enrich(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
     v = spectral_eigvecs_matfree(xyz, normals, key, sigma=sigma, knn=knn,
                                  k=eig_k, iters=iters, idx=idx,
                                  transpose_mode=transpose_mode)
-    e = jnp.concatenate([emb * (1.7 - compute_entropy(emb)),
-                         v * (normal_smooth_w - compute_entropy(v))], -1)
-    return e / jnp.clip(jnp.linalg.norm(e, axis=-1, keepdims=True),
-                        min=1e-12)
+    return _entropy_weighted_concat(emb, v, normal_smooth_w)

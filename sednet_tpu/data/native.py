@@ -73,16 +73,21 @@ def preprocess_batch(points: np.ndarray, normals: np.ndarray | None, *,
 
 def _setup_dump(lib):
     if getattr(lib, "_dump_ready", False):
-        return
-    lib.sednet_dump_f32.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_char, ctypes.c_int]
-    lib.sednet_dump_f32.restype = ctypes.c_int
-    lib.sednet_dump_i64.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_char]
-    lib.sednet_dump_i64.restype = ctypes.c_int
+        return True
+    try:
+        lib.sednet_dump_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_char, ctypes.c_int]
+        lib.sednet_dump_f32.restype = ctypes.c_int
+        lib.sednet_dump_i64.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_char]
+        lib.sednet_dump_i64.restype = ctypes.c_int
+    except AttributeError:
+        # stale .so predating the dump symbols: numpy fallback
+        return False
     lib._dump_ready = True
+    return True
 
 
 def savetxt_fast(path: str, arr: np.ndarray, *, fmt: str = "%0.4f",
@@ -97,8 +102,8 @@ def savetxt_fast(path: str, arr: np.ndarray, *, fmt: str = "%0.4f",
     a = np.asarray(arr)
     if a.ndim == 1:
         a = a[:, None]
-    if lib is not None and a.ndim == 2 and len(delimiter) == 1:
-        _setup_dump(lib)
+    if (lib is not None and a.ndim == 2 and len(delimiter) == 1
+            and _setup_dump(lib)):
         d = delimiter.encode()
         if fmt == "%d":
             ai = np.ascontiguousarray(a, np.int64)
@@ -111,7 +116,7 @@ def savetxt_fast(path: str, arr: np.ndarray, *, fmt: str = "%0.4f",
         else:
             import re
 
-            m = re.fullmatch(r"%0?\.?(\d+)f", fmt)
+            m = re.fullmatch(r"%0?\.(\d+)f", fmt)  # dot REQUIRED: "%04f" is width, not precision
             if m:
                 af = np.ascontiguousarray(a, np.float32)
                 rc = lib.sednet_dump_f32(

@@ -40,14 +40,17 @@ def gen_vis(src: str, shape_id) -> dict:
     return out
 
 
-def _one(src, dst, shape_id):
+def _one(src, dst, shape_id, keep: bool = False):
     from sednet_tpu.data.native import savetxt_fast
 
     out = gen_vis(src, shape_id)
     for kind, arr in out.items():
         savetxt_fast(os.path.join(dst, f"{shape_id}_{kind}.txt"), arr,
                      delimiter=";", fmt="%0.4f")
-    return out
+    # only the --images pass needs the arrays back; returning them
+    # unconditionally would pin every shape's decoded clouds in memory
+    # (10+ GB over a reference-scale 2700-shape dump dir)
+    return out if keep else None
 
 
 def gen_total_vis(src: str, ids=None, workers: int = 8,
@@ -62,7 +65,7 @@ def gen_total_vis(src: str, ids=None, workers: int = 8,
         ids = sorted({f.split("_")[0] for f in os.listdir(src)
                       if f.endswith("_type.txt") and "GT" not in f})
     with cf.ThreadPoolExecutor(max_workers=workers) as ex:
-        outs = list(ex.map(lambda i: _one(src, dst, i), ids))
+        outs = list(ex.map(lambda i: _one(src, dst, i, keep=images), ids))
     if images and ids:
         from sednet_tpu.utils import render_pointclouds_grid
 

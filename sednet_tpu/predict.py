@@ -314,7 +314,11 @@ def predict_shapes(
             keys_e = jax.random.split(jax.random.fold_in(key, 2000), b)
             matfree = cfg.spectral_matfree
             if matfree is None:
-                matfree = x.shape[1] > cfg.spectral_dense_max_n
+                # the vmapped dense path holds shapes-per-device N x N
+                # affinities SIMULTANEOUSLY — budget against the
+                # single-shape threshold accordingly
+                per_dev = -(-b // mesh.size)
+                matfree = (x.shape[1] ** 2) * per_dev >                     cfg.spectral_dense_max_n ** 2
             enrich = (_hpnet_enrich_batch if matfree
                       else _hpnet_enrich_batch_dense)
             emb_n = enrich(
@@ -543,6 +547,18 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
 
     dump_pool = _cf.ThreadPoolExecutor(max_workers=4) if save_viz else None
     dump_futs = []
+
+    def _drain_dumps(done_only=True):
+        # surface IO errors per batch (fail fast on a full/read-only
+        # filesystem) instead of after hours of eval
+        rest = []
+        for f in dump_futs:
+            if not done_only or f.done():
+                f.result()
+            else:
+                rest.append(f)
+        dump_futs[:] = rest
+
     for batch in loader:
         b = batch["points"].shape[0]
         pad = 0
@@ -574,14 +590,17 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
                     save_shape_outputs, out_dir, ids[i], item, r))
             if postproc:
                 run_postproc(out_dir, ids[i], item, r)
+        if dump_pool is not None:
+            _drain_dumps(done_only=True)
         sid += len(results)
         if limit and sid - starts >= limit:
             break
 
     if dump_pool is not None:
-        for f in dump_futs:
-            f.result()   # surface any dump IO error
-        dump_pool.shutdown()
+        try:
+            _drain_dumps(done_only=False)
+        finally:
+            dump_pool.shutdown()
 
     summary = {
         "inst_iou": float(np.mean([m["inst_iou"] for m in all_metrics])),

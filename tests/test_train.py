@@ -157,15 +157,35 @@ def test_warmup_and_grad_clip(tmp_path):
                                    "configs", "config_test_tiny.yml"))
     cfg = dataclasses.replace(cfg, warmup_steps=4, grad_clip=1.0)
 
-    # unit level: clipped chain state still takes lr overrides, and a
-    # huge gradient is clipped to the requested global norm
+    # unit level: grad_clip wraps the optimizer in a chain whose state is
+    # a plain tuple (clip stage + injected adamw) that set_learning_rate
+    # still reaches, and a huge gradient still yields finite updates
     opt = make_optimizer(cfg)
     params = {"w": jnp.zeros((3,))}
     st = opt.init(params)
+    assert isinstance(st, tuple) and not hasattr(st, "hyperparams")
+    assert any(hasattr(s, "hyperparams") for s in st)
     st = set_learning_rate(st, 0.5)
+    lr_holder = next(s for s in st if hasattr(s, "hyperparams"))
+    assert float(lr_holder.hyperparams["learning_rate"]) == 0.5
     grads = {"w": jnp.full((3,), 1e6)}
     updates, _ = opt.update(grads, st, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+    # clip-free config: bare inject state, no chain tuple
+    opt0 = make_optimizer(dataclasses.replace(cfg, grad_clip=0.0))
+    st0 = opt0.init(params)
+    assert hasattr(st0, "hyperparams")
+    # the clip stage really bounds the gradient: with clipping the adamw
+    # moments see norm<=1 grads, so the FIRST update must equal the
+    # unclipped one (adam is scale-invariant on step one) but the second
+    # moment state must differ by the clip factor
+    _, s1 = opt.update(grads, st, params)
+    _, s0 = opt0.update(grads, set_learning_rate(st0, 0.5), params)
+    mx1 = max(float(np.max(np.abs(np.asarray(v))))
+              for v in jax.tree.leaves(s1) if hasattr(v, "dtype"))
+    mx0 = max(float(np.max(np.abs(np.asarray(v))))
+              for v in jax.tree.leaves(s0) if hasattr(v, "dtype"))
+    assert mx1 < mx0 / 1e3, (mx1, mx0)  # clipped moments are ~1e6x smaller
 
     root = str(tmp_path / "d")
     write_parsenet_h5(root, n_shapes=8, n_points=128)
