@@ -74,16 +74,17 @@ class Config:
     ms_max_clusters: int = 50
     ms_retry_factor: float = 1.2
     # bf16 inputs for the mean-shift step matmuls (f32 accumulation).
-    # ~3x MXU throughput on the dominant clustering cost, but bf16
-    # quantization of the unit rows perturbs each kernel weight by up to
-    # ~e^(4e-3/(2 b^2)); off by default pending the label-drift audit
-    # (scripts/audit_clustering.py asserts bf16-vs-f32 matched IoU)
+    # MEASURED no-win on v5e (round 3): default Mosaic matmul precision
+    # already rounds f32 dot inputs to bf16 (bitwise-equal labels,
+    # 0.33 vs 0.34 ms/iter — the step is exp/VPU-bound); the flag only
+    # halves tile bytes. Kept for explicitness, audited by
+    # scripts/audit_clustering.py if ever enabled
     ms_bf16: bool = False
     # bf16 activations through the model's conv/GN stacks (f32 params,
     # f32 GN statistics, f32 logits/embedding outputs, f32 kNN builds).
-    # Halves the encoder's gather/normalize bandwidth — the forward's
-    # main non-top-k cost. Off by default: parity-first; enable for
-    # throughput after the quality gate passes on the target config
+    # MEASURED no-win at 10k pts on v5e: 11.0 vs 11.3 shapes/s — the
+    # forward is dominated by the f32-pinned top-k and the casts cost
+    # more than the saved gather/normalize bandwidth. Off by default
     model_bf16: bool = False
     # training stability levers (beyond the reference, which has neither;
     # motivated by the measured cross-seed inst_iou spread of the

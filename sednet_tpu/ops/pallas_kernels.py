@@ -40,8 +40,10 @@ def _ms_kernel(inv2b2_ref, n_valid_ref, q_ref, x_ref, out_ref,
 
     q = q_ref[:]                                   # (RB, E)
     x = x_ref[:]                                   # (CB, E)
-    # inputs may arrive in bf16 (the opt-in fast path: ~3x MXU throughput
-    # and half the streamed-column HBM traffic); both dots accumulate f32
+    # inputs may arrive in bf16 (opt-in ms_bf16). MEASURED (round 3): a
+    # no-op for the MXU — default Mosaic matmul precision already rounds
+    # f32 dot inputs to bf16 with f32 accumulation (bitwise-equal
+    # outputs, 0.33 vs 0.34 ms/iter); bf16 only halves tile bytes.
     s = lax.dot_general(q, x, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)  # (RB, CB)
     arg = jnp.maximum((s - 1.0) * inv2b2_ref[0, 0], -75.0)
