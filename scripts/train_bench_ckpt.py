@@ -34,6 +34,7 @@ def run_seed(args, root, seed):
         eval_T=max(args.steps // 3, 10), epochs=10 ** 6,
         ms_num_samples=min(5000, args.n_points),
         edge_topk=min(2000, args.n_points), mesh_shape=1, seed=seed,
+        warmup_steps=args.warmup, grad_clip=args.grad_clip,
     )
     run_dir = os.path.join(args.workdir, f"run_seed{seed}")
     t0 = time.time()
@@ -53,6 +54,7 @@ def run_seed(args, root, seed):
         batch_size=args.eval_shapes, limit=args.eval_shapes)
     rec = {
         "seed": seed, "steps": args.steps, "lr": args.lr,
+        "warmup": args.warmup, "grad_clip": args.grad_clip,
         "n_points": args.n_points,
         "inst_iou": round(summary["inst_iou"], 4),
         "type_iou": round(summary["type_iou"], 4),
@@ -75,6 +77,10 @@ def main():
     p.add_argument("--embed", type=int, default=128)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=int, default=0,
+                   help="linear lr warmup steps (config.warmup_steps)")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clip (config.grad_clip)")
     p.add_argument("--n-train", type=int, default=48)
     p.add_argument("--eval-shapes", type=int, default=8)
     p.add_argument("--workdir", default="/tmp/sednet_bench_ckpt")

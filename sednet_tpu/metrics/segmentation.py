@@ -40,6 +40,35 @@ def relaxed_iou_fast(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return dots / (norms_p + norms_g - dots + 1e-7)
 
 
+@jax.jit
+def _relaxed_cost_from_labels(preds: jnp.ndarray,
+                              targets: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) int32 pred + GT labels -> (B, 50, 50) 1 - relaxed-IoU cost,
+    with the one-hots built ON DEVICE. The host-built (B, N, 50) f32
+    one-hots are 32 MB per batch-8 at N=10k — measured ~176 ms of the
+    reference-default eval's metric stage was just pushing them through
+    the device relay; the int labels are 100x smaller. Same math as
+    relaxed_iou_fast over to_one_hot (labels >= 50 simply contribute no
+    membership instead of raising, as the guard caps clusters below 50)."""
+    k = jnp.arange(50, dtype=jnp.int32)
+    ph = (preds[..., None] == k).astype(jnp.float32)
+    gh = (targets[..., None] == k).astype(jnp.float32)
+    return 1.0 - relaxed_iou_fast(ph, gh)
+
+
+def _prim_type_per_segment_np(pred_labels: np.ndarray,
+                              prims_pred: np.ndarray,
+                              n_seg: int = 50, n_type: int = 10) -> np.ndarray:
+    """primitive_type_per_segment without materializing the (N, 50) and
+    (N, 10) one-hots: counts[k, t] = |{i: label_i == k and prim_i == t}|,
+    argmax over t with the same first-index tie rule as the one-hot
+    matmul's argmax(0) over (T, K)."""
+    counts = np.bincount(
+        pred_labels.astype(np.int64) * n_type + prims_pred.astype(np.int64),
+        minlength=n_seg * n_type).reshape(n_seg, n_type)
+    return counts.argmax(1)
+
+
 def hungarian_match(cost: np.ndarray):
     """rows, cols minimizing total cost (reference uses lapsolver.solve_dense,
     src/segment_utils.py:173-176)."""
@@ -107,11 +136,9 @@ def _matched_iou_core(target, pred_labels, prim_pred_per_seg, primitives,
                       points=None, min_gt_points=100, use_chamfer=False):
     """Shared loop of mean_IOU_primitive_segment[_usecd]
     (reference: src/segment_utils.py:359-419 and :424-494)."""
-    labels_one_hot = to_one_hot(target)
-    cluster_one_hot = to_one_hot(pred_labels)
-    cost = 1.0 - np.asarray(
-        relaxed_iou_fast(jnp.asarray(cluster_one_hot[None]),
-                         jnp.asarray(labels_one_hot[None])))[0]
+    cost = np.asarray(_relaxed_cost_from_labels(
+        jnp.asarray(np.asarray(pred_labels).astype(np.int32)[None]),
+        jnp.asarray(np.asarray(target).astype(np.int32)[None])))[0]
     seg_iou, prim_iou, matching, prim_pairs, recall, cd_pairs = \
         _collect_matched(target, pred_labels, prim_pred_per_seg, primitives,
                          cost, points=points, min_gt_points=min_gt_points,
@@ -136,27 +163,39 @@ def _pow2(n: int, lo: int = 64) -> int:
 
 
 def _masked_chamfer_pairs(pairs) -> np.ndarray:
-    """Symmetric chamfer for a list of (a (Na,3), b (Nb,3)) pairs in one
-    padded device call (pow2 buckets -> a handful of compilations ever).
-    Padding uses far-away sentinels so pads never win an argmin, and the
-    per-direction means are mask-weighted — identical to
-    ops.chamfer.chamfer_distance pair by pair."""
+    """Symmetric chamfer for a list of (a (Na,3), b (Nb,3)) pairs, padded
+    into per-size pow2 buckets (a handful of compile signatures ever).
+    Bucketing by each pair's OWN pow2 sizes — not the global max — keeps
+    one large segment from inflating every small pair's quadratic cost;
+    all bucket dispatches go out before the single host sync so they
+    pipeline on the device. Padding uses far-away sentinels so pads never
+    win an argmin, and the per-direction means are mask-weighted —
+    identical to ops.chamfer.chamfer_distance pair by pair."""
     s = len(pairs)
-    pa = _pow2(max(p[0].shape[0] for p in pairs))
-    pb = _pow2(max(p[1].shape[0] for p in pairs))
-    sp = _pow2(s, lo=8)
-    a = np.zeros((sp, pa, 3), np.float32)
-    ma = np.zeros((sp, pa), np.float32)
-    b = np.zeros((sp, pb, 3), np.float32)
-    mb = np.zeros((sp, pb), np.float32)
+    groups: dict = {}
     for i, (x, y) in enumerate(pairs):
-        a[i, : x.shape[0]] = x
-        ma[i, : x.shape[0]] = 1.0
-        b[i, : y.shape[0]] = y
-        mb[i, : y.shape[0]] = 1.0
-    return np.asarray(_masked_chamfer_jit(
-        jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b),
-        jnp.asarray(mb)))[:s]
+        groups.setdefault((_pow2(x.shape[0]), _pow2(y.shape[0])),
+                          []).append(i)
+    pending = []
+    for (pa, pb), idxs in groups.items():
+        sp = _pow2(len(idxs), lo=8)
+        a = np.zeros((sp, pa, 3), np.float32)
+        ma = np.zeros((sp, pa), np.float32)
+        b = np.zeros((sp, pb, 3), np.float32)
+        mb = np.zeros((sp, pb), np.float32)
+        for j, i in enumerate(idxs):
+            x, y = pairs[i]
+            a[j, : x.shape[0]] = x
+            ma[j, : x.shape[0]] = 1.0
+            b[j, : y.shape[0]] = y
+            mb[j, : y.shape[0]] = 1.0
+        pending.append((idxs, _masked_chamfer_jit(
+            jnp.asarray(a), jnp.asarray(ma), jnp.asarray(b),
+            jnp.asarray(mb))))
+    out = np.zeros((s,), np.float32)
+    for idxs, r in pending:  # host syncs only after every dispatch is out
+        out[np.asarray(idxs)] = np.asarray(r)[: len(idxs)]
+    return out
 
 
 @jax.jit
@@ -215,10 +254,10 @@ def siou_matched_segments_usecd_batch(targets, pred_labels, primitives_pred,
     prim_pairs, recall) tuples, numerically identical to calling
     siou_matched_segments_usecd per shape."""
     bsz = len(targets)
-    lab_hot = np.stack([to_one_hot(np.asarray(t)) for t in targets])
-    clu_hot = np.stack([to_one_hot(np.asarray(p)) for p in pred_labels])
-    cost_all = 1.0 - np.asarray(
-        relaxed_iou_fast(jnp.asarray(clu_hot), jnp.asarray(lab_hot)))
+    t_arr = np.stack([np.asarray(t).astype(np.int32) for t in targets])
+    p_arr = np.stack([np.asarray(p).astype(np.int32) for p in pred_labels])
+    cost_all = np.asarray(_relaxed_cost_from_labels(
+        jnp.asarray(p_arr), jnp.asarray(t_arr)))
 
     partial = []
     all_pairs = []
@@ -226,11 +265,10 @@ def siou_matched_segments_usecd_batch(targets, pred_labels, primitives_pred,
     for i in range(bsz):
         prims = _remap_eval(np.asarray(primitives[i]))
         prims_pred = _remap_eval(np.asarray(primitives_pred[i]))
-        prim_hot = to_one_hot(prims_pred, 10)
-        # per-segment majority over the predicted clusters (50-col one-hot
-        # == the to_one_hot(num_clusters) the per-shape path uses: extra
+        # per-segment majority over the predicted clusters (bincount form
+        # of primitive_type_per_segment over 50-col one-hots: extra
         # all-zero columns add zero votes and unmatched rows are skipped)
-        prim_per_seg = primitive_type_per_segment(prim_hot, clu_hot[i])
+        prim_per_seg = _prim_type_per_segment_np(p_arr[i], prims_pred)
         seg_iou, prim_iou, matching, prim_pairs, _, cd_pairs = \
             _collect_matched(np.asarray(targets[i]),
                              np.asarray(pred_labels[i]), prim_per_seg,

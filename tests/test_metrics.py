@@ -129,6 +129,12 @@ def test_masked_chamfer_pairs_matches_per_pair():
     pairs = [(rng.standard_normal((17 + 9 * i, 3)).astype(np.float32),
               rng.standard_normal((23 + 5 * i, 3)).astype(np.float32))
              for i in range(5)]
+    # skewed sizes spanning several pow2 buckets: one large pair must not
+    # inflate (or corrupt) the small pairs, and results stay in input order
+    pairs += [(rng.standard_normal((1000, 3)).astype(np.float32),
+               rng.standard_normal((40, 3)).astype(np.float32)),
+              (rng.standard_normal((3, 3)).astype(np.float32),
+               rng.standard_normal((2100, 3)).astype(np.float32))]
     got = _masked_chamfer_pairs(pairs)
     for i, (a, b) in enumerate(pairs):
         ref = float(chamfer_distance(jnp.asarray(a[None]),
