@@ -186,6 +186,26 @@ def _blocked_colmax(rows: jax.Array, cols: jax.Array, col_score,
     return best, idx
 
 
+def _colmax(rows, cols, bias, thresh, gain, interpret: bool = False):
+    """Unified NMS pass: for each row, (max_c scored, first argmax) with
+        scored = gain*sim + bias[c] where (2 - 2*sim) < thresh, else -inf.
+    On TPU this is one fused Pallas scan (the (R, C) similarity tile never
+    leaves VMEM); elsewhere the XLA column-block stream below. The three
+    NMS passes are instances: membership (thresh inf, gain 1, bias 0),
+    bandwidth-ball vote (thresh b, gain 0, bias counts), survivor
+    assignment (thresh inf, gain 1, bias 0/-inf mask)."""
+    if target_backend() == "tpu" and not interpret:
+        from sednet_tpu.ops.pallas_kernels import colmax_pallas
+
+        return colmax_pallas(rows, cols, bias, thresh, gain)
+
+    def score(sim, cid):
+        return jnp.where(2.0 - 2.0 * sim < thresh,
+                         gain * sim + bias[cid[0]][None, :], -jnp.inf)
+
+    return _blocked_colmax(rows, cols, score)
+
+
 @jax.jit
 def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
     """Fixed-shape non-max suppression (reference: src/mean_shift.py:139-179).
@@ -196,29 +216,22 @@ def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
     Jitted: the blocked fori loops must never dispatch eagerly (hundreds of
     tiny ops through the device relay)."""
     n = x.shape[0]
+    inf = jnp.float32(jnp.inf)
+    one = jnp.float32(1.0)
+    zeros = jnp.zeros((n,), jnp.float32)
     # nearest shifted center for every point: argmin dist == argmax dot on
     # the unit sphere == first-index argmax (ties included)
-    _, membership = _blocked_colmax(x, centers, lambda s, cid: s)
+    _, membership = _colmax(x, centers, zeros, inf, one)
     counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), membership,
                                  num_segments=n)                     # (N,)
     occupied = counts > 0
     # centers within bandwidth of each other vote for the heaviest
     # neighbour: rep[i] = argmax_j [dist(c_i, c_j) < b] * counts_j
-    bb = b
-
-    def vote(sim, cid):
-        within = (2.0 - 2.0 * sim) < bb
-        return jnp.where(within, counts[cid[0]][None, :], -jnp.inf)
-
-    _, rep = _blocked_colmax(centers, centers, vote)
+    _, rep = _colmax(centers, centers, counts, b, jnp.float32(0.0))
     center_mask = jnp.zeros((n,), bool).at[rep].max(occupied)
     # assign every point to its most-aligned surviving center
     masked = jnp.where(center_mask, 0.0, -jnp.inf)
-
-    def survivor_sim(sim, cid):
-        return sim + masked[cid[0]][None, :]
-
-    _, raw = _blocked_colmax(x, centers, survivor_sim)
+    _, raw = _colmax(x, centers, masked, inf, one)
     compact = (jnp.cumsum(center_mask) - 1).astype(jnp.int32)
     labels = compact[raw]
     # center_mask.sum() equals the number of labels actually assigned (the

@@ -151,6 +151,91 @@ def mean_shift_step_pallas_batched(new_x: jax.Array, x: jax.Array,
     return out[:, :n]
 
 
+def _colmax_kernel(thresh_ref, gain_ref, rows_ref, cols_ref, bias_ref,
+                   best_ref, idx_ref):
+    """One (RB, CB) tile of the NMS column-max scan (see colmax_pallas)."""
+    j = pl.program_id(1)
+    cb = cols_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref, -jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    sim = lax.dot_general(rows_ref[:], cols_ref[:], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # (RB, CB)
+    # unified pass scoring: within-threshold columns score gain*sim + bias,
+    # the rest -inf (padded columns carry bias = -inf)
+    scored = jnp.where(2.0 - 2.0 * sim < thresh_ref[0, 0],
+                       gain_ref[0, 0] * sim + bias_ref[:],
+                       -jnp.inf)
+    val = jnp.max(scored, axis=1, keepdims=True)                  # (RB, 1)
+    colid = jax.lax.broadcasted_iota(jnp.int32, scored.shape, 1) + j * cb
+    # first-index tie semantics (jnp.argmax): min col id among the maxima
+    loc = jnp.min(jnp.where(scored == val, colid, jnp.int32(2 ** 30)),
+                  axis=1, keepdims=True)                          # (RB, 1)
+    take = val > best_ref[:]  # strict >: earlier tiles win ties
+    idx_ref[:] = jnp.where(take, loc, idx_ref[:])
+    best_ref[:] = jnp.where(take, val, best_ref[:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row_block", "col_block", "interpret"))
+def colmax_pallas(rows: jax.Array, cols: jax.Array, bias: jax.Array,
+                  thresh: jax.Array, gain: jax.Array, *,
+                  row_block: int = 512, col_block: int = 1024,
+                  interpret: bool = False):
+    """Fused NMS column-max: for every row r of `rows` (R, E), over columns
+    c of `cols` (C, E) with sim = rows @ cols^T,
+        scored[r, c] = gain*sim + bias[c]  if (2 - 2*sim[r, c]) < thresh
+                       -inf                otherwise
+    returns (max_c scored[r, :], first argmax) — the exact tile-streamed
+    semantics of mean_shift._blocked_colmax, but the (R, C) similarity
+    matrix never leaves VMEM (the XLA form writes + re-reads ~400 MB per
+    pass at N=10k). thresh/gain are traced scalars so one compiled kernel
+    serves all three NMS passes (membership / bandwidth-ball vote /
+    surviving-center assignment)."""
+    r, e = rows.shape
+    c = cols.shape[0]
+    rb = min(row_block, _round_up(r, 8))
+    cb = min(col_block, _round_up(c, 128))
+    r_pad = _round_up(r, rb)
+    c_pad = _round_up(c, cb)
+    rows_p = jnp.pad(rows, ((0, r_pad - r), (0, 0)))
+    cols_p = jnp.pad(cols, ((0, c_pad - c), (0, 0)))
+    bias_p = jnp.pad(bias.astype(jnp.float32), (0, c_pad - c),
+                     constant_values=-jnp.inf).reshape(1, c_pad)
+    thresh = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+    gain = jnp.asarray(gain, jnp.float32).reshape(1, 1)
+
+    best, idx = pl.pallas_call(
+        _colmax_kernel,
+        grid=(r_pad // rb, c_pad // cb),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, e), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, e), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((r_pad, 1), jnp.int32)],
+        interpret=interpret,
+    )(thresh, gain, rows_p, cols_p, bias_p)
+    return best[:r, 0], idx[:r, 0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "bf16", "interpret"))
 def mean_shift_step_pallas(new_x: jax.Array, x: jax.Array,

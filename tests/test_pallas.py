@@ -124,3 +124,63 @@ def test_cluster_level_backend_parity(rng):
     for a, b in zip(lp.tolist(), lx.tolist()):
         assert mapping.setdefault(a, b) == b, (a, b, mapping)
     assert len(mapping) == int(np_p)
+
+
+def _xla_colmax(rows, cols, bias, thresh, gain):
+    from sednet_tpu.cluster.mean_shift import _blocked_colmax
+
+    def score(sim, cid):
+        return jnp.where(2.0 - 2.0 * sim < thresh,
+                         gain * sim + bias[cid[0]][None, :], -jnp.inf)
+
+    return _blocked_colmax(rows, cols, score)
+
+
+@pytest.mark.parametrize("mode", ["membership", "vote", "survivor"])
+def test_colmax_pallas_matches_blocked_xla(rng, mode):
+    """The fused NMS colmax kernel reproduces _blocked_colmax on all three
+    pass configurations, including padded tails and first-index ties."""
+    from sednet_tpu.ops.pallas_kernels import colmax_pallas
+
+    r, c, e = 203, 157, 8
+    rows = rng.randn(r, e).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    cols = rng.randn(c, e).astype(np.float32)
+    # duplicated columns force exact ties -> first-index semantics checked
+    cols[40] = cols[7]
+    cols[41] = cols[7]
+    cols /= np.linalg.norm(cols, axis=1, keepdims=True)
+    rows[:3] = cols[7]  # rows exactly on the tied columns
+    inf = jnp.float32(jnp.inf)
+    if mode == "membership":
+        bias, thresh, gain = jnp.zeros((c,), jnp.float32), inf, 1.0
+    elif mode == "vote":
+        counts = jnp.asarray(rng.randint(0, 9, size=c).astype(np.float32))
+        bias, thresh, gain = counts, jnp.float32(0.4), 0.0
+    else:
+        mask = jnp.where(jnp.asarray(rng.rand(c) > 0.5), 0.0, -jnp.inf)
+        bias, thresh, gain = mask.astype(jnp.float32), inf, 1.0
+    rj, cj = jnp.asarray(rows), jnp.asarray(cols)
+    gain = jnp.float32(gain)
+    ref_v, ref_i = _xla_colmax(rj, cj, bias, thresh, gain)
+    got_v, got_i = colmax_pallas(rj, cj, bias, thresh, gain,
+                                 row_block=64, col_block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_colmax_pallas_all_masked_rows(rng):
+    """Rows whose every column is masked out return (-inf, 0) like the
+    XLA blocked scan's init state."""
+    from sednet_tpu.ops.pallas_kernels import colmax_pallas
+
+    r, c, e = 17, 33, 4
+    rows = rng.randn(r, e).astype(np.float32)
+    cols = rng.randn(c, e).astype(np.float32)
+    bias = jnp.full((c,), -jnp.inf, jnp.float32)
+    v, i = colmax_pallas(jnp.asarray(rows), jnp.asarray(cols), bias,
+                         jnp.float32(jnp.inf), jnp.float32(1.0),
+                         row_block=8, col_block=128, interpret=True)
+    assert np.all(np.asarray(v) == -np.inf)
+    assert np.all(np.asarray(i) == 0)
