@@ -4,7 +4,11 @@ Methodology: the axon relay makes block_until_ready a no-op and adds ~20 ms
 dispatch latency per call, so each stage is timed by looping it inside ONE
 jitted fori_loop at two trip counts and differencing (per-iter cost), with a
 scalar host transfer as the only sync."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
