@@ -261,7 +261,7 @@ def topk_pallas(q: jax.Array, p: jax.Array, k: int, *,
                 row_block: int = 256, interpret: bool = False,
                 return_distances: bool = False, largest: bool = False,
                 spatial_sort: bool | None = None,
-                col_halves: int = 2):
+                col_halves: int = 4):
     """Exact k-nearest rows of p for every row of q, nearest first
     (largest=True selects the k FARTHEST instead — the spectral
     enrichment's reference quirk, smooth_normal_matrix.py:33-39).

@@ -18,8 +18,20 @@ def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather neighbour features.
 
     x: (B, N, C), idx: (B, N, K) int32 -> (B, N, K, C).
+
+    Implemented as ONE flat gather from a (B*N, C) table with
+    batch-offset indices rather than a vmapped per-shape gather: XLA
+    lowers the batched gather ~2.6x slower on TPU (measured 33.4 vs
+    12.8 ms for (8, 10k, 64, 64) f32 on a v5e, scripts/sweep_gather.py —
+    the batch dimension defeats its gather coalescing; index order and
+    locality made no difference). Same values, same scatter-add VJP.
     """
-    return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
+    b, n, _ = x.shape
+    if b == 1:
+        return x[0][idx[0]][None]
+    off = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
+    flat = x.reshape(b * n, x.shape[-1])[(idx + off).reshape(-1)]
+    return flat.reshape(*idx.shape, x.shape[-1])
 
 
 def edge_features(x: jax.Array, idx: jax.Array) -> jax.Array:
