@@ -18,7 +18,10 @@ the same record; otherwise random-init (marked in the record).
 
 vs_baseline divides by BASELINE_SHAPES_PER_SEC (the recorded round-1
 measurement — the reference publishes no numbers, BASELINE.json
-"published" is empty).
+"published" is empty). vs_reference_cpu divides by the MEASURED
+throughput of the reference code itself on this host's CPU
+(REFERENCE_CPU.json, written by scripts/bench_reference_cpu.py — the
+denominator of BASELINE.md's "x10 CPU-reference" north star).
 """
 import argparse
 import json
@@ -28,6 +31,18 @@ import time
 import numpy as np
 
 BASELINE_SHAPES_PER_SEC = 2.371  # round-1 measurement on one v5e chip
+
+REFERENCE_CPU = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "REFERENCE_CPU.json")
+
+
+def _reference_cpu():
+    """Measured reference-code CPU shapes/sec (per-config comparables)."""
+    try:
+        with open(REFERENCE_CPU) as f:
+            return json.load(f)["shapes_per_sec"]
+    except Exception:
+        return {}
 
 BATCH = 8
 N_POINTS = 10000
@@ -175,23 +190,43 @@ def main():
 
         ev = Evaluation(FittingModule())
 
+        def full_metrics(res, labels):
+            """Fit-quality fields for the bench record (VERDICT r3 #6):
+            residual = mean spline/geom-split point-to-surface distance
+            (reference protocol eval_utils.py:130-175), p_cover = SPFN
+            coverage @0.01 (eval_utils.py:103-127)."""
+            from sednet_tpu.fit.evaluation import p_coverage
+
+            residuals = [r[0][0] for r in res]
+            covers = [p_coverage(s["points"], res[i][1])[1]
+                      for i, s in enumerate(shapes)]
+            return (round(float(np.mean(residuals)), 4),
+                    round(float(np.mean(covers)), 4))
+
+        res_box = [None, None]
+
         def full_pipeline():
             labels, types = pipeline(variables, x, jax.random.PRNGKey(3))
             labels, types = np.asarray(labels), np.asarray(types)
-            ev.residual_eval_batch([
+            res_box[0] = ev.residual_eval_batch([
                 {"points": s["points"], "normals": s["normals"],
                  "labels": s["labels"].astype(np.int64),
                  "cluster_ids": labels[i], "pred_primitives": types[i]}
                 for i, s in enumerate(shapes)])
+            res_box[1] = labels
             return labels
 
         full_pipeline()
         t0 = time.time()
         full_pipeline()
         dt_full = time.time() - t0
-        emit({"metric": "full pipeline (cluster + fits + residuals)",
-              "value": round(BATCH / dt_full, 3),
-              "unit": "shapes/sec/chip"})
+        rec_full = {"metric": "full pipeline (cluster + fits + residuals)",
+                    "value": round(BATCH / dt_full, 3),
+                    "unit": "shapes/sec/chip"}
+        if weights_tag == "trained":
+            rec_full["residual"], rec_full["p_cover"] = full_metrics(
+                res_box[0], res_box[1])
+        emit(rec_full)
 
         # 4. multi-vote TTA pipeline
         from sednet_tpu.predict import make_tta_type_log_prob
@@ -251,14 +286,19 @@ def main():
                 res = ref_eval()
                 ts.append(time.time() - t0)
             dt = min(ts)
-            emit({"metric": name, "value": round(BATCH / dt, 3),
-                  "unit": "shapes/sec/chip",
-                  "inst_iou": round(float(np.mean(
-                      [r["inst_iou"] for r in res])), 4),
-                  "type_iou": round(float(np.mean(
-                      [r["type_iou"] for r in res])), 4),
-                  "inst_recall": round(float(np.mean(
-                      [r["inst_recall"] for r in res])), 4)})
+            rec_rd = {"metric": name, "value": round(BATCH / dt, 3),
+                      "unit": "shapes/sec/chip",
+                      "inst_iou": round(float(np.mean(
+                          [r["inst_iou"] for r in res])), 4),
+                      "type_iou": round(float(np.mean(
+                          [r["type_iou"] for r in res])), 4),
+                      "inst_recall": round(float(np.mean(
+                          [r["inst_recall"] for r in res])), 4)}
+            ref_cpu_rd = _reference_cpu().get("ref_default_comparable")
+            if not fold5 and ref_cpu_rd:
+                rec_rd["vs_reference_cpu"] = round(
+                    BATCH / dt / ref_cpu_rd, 1)
+            emit(rec_rd)
 
         # 4d. bf16 fast path: mixed-precision model compute + bf16
         # mean-shift step on the SAME trained f32 parameters — the
@@ -339,24 +379,39 @@ def main():
               "unit": "shapes/sec/chip"})
         del state_box, state  # release the donated-chain buffers
 
-    # headline (config 2): batched inference, forward + mean-shift
+    # headline (config 2): batched inference, forward + mean-shift.
+    # Median of >= 10 per-iteration-synced wall times, NOT a 3-iter mean:
+    # the axon relay's latency spikes put +-30% on small-sample means
+    # (round 3 recorded 8.70 via the driver and 11.34 via the builder's
+    # own run of the SAME build — VERDICT r3 weak #1). Each iteration
+    # ends in one host transfer; the median is robust to relay spikes.
     labels, types = pipeline(variables, x, jax.random.PRNGKey(1))
     _ = np.asarray(labels)
-    t0 = time.time()
-    iters = 3
-    for i in range(iters):
+    ts = []
+    for i in range(10):
+        t0 = time.time()
         labels, types = pipeline(variables, x, jax.random.PRNGKey(2 + i))
-    labels = np.asarray(labels)
-    dt = (time.time() - t0) / iters
+        labels = np.asarray(labels)
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
     shapes_per_sec = BATCH / dt
+    spread_pct = round(100.0 * (max(ts) - min(ts)) / dt, 1)
 
     rec = {
         "metric": "End-to-end shapes/sec/chip (10k-pt clouds), forward + mean-shift",
         "value": round(shapes_per_sec, 4),
         "unit": "shapes/sec/chip",
+        "timing": "median of 10 synced iters",
+        "spread_pct": spread_pct,
+        "best": round(BATCH / min(ts), 3),
+        "worst": round(BATCH / max(ts), 3),
         "vs_baseline": round(shapes_per_sec / BASELINE_SHAPES_PER_SEC, 3),
         "weights": weights_tag,
     }
+    ref_cpu = _reference_cpu()
+    if "headline_comparable" in ref_cpu:
+        rec["vs_reference_cpu"] = round(
+            shapes_per_sec / ref_cpu["headline_comparable"], 1)
     if weights_tag == "trained":
         # quality of the headline run's own outputs (untimed, host side)
         rec["inst_iou"], rec["type_iou"] = batch_metrics(

@@ -1,0 +1,106 @@
+"""Throughput regression gate (VERDICT r3 weak #5 / next-round #1).
+
+quality_gate.py pins metric floors; nothing pinned throughput, and the
+exact failure mode that allows happened in round 3 (headline 10.32 ->
+8.70 driver-recorded with no flag raised). This gate reads a bench
+record file — one JSON object per line, the format bench.py prints and
+the driver stores as BENCH_ALL_r{n}.json — and fails if any known
+config's shapes/sec drops below its floor.
+
+Floors are set ~15% below the round-3 measured values (BENCH_ALL_r03,
+one v5e chip through the axon relay; the margin absorbs relay noise the
+median-of-10 headline timing doesn't fully remove). Raise them as the
+kernels improve — a floor that trails the state of the art by more than
+one round is not a gate.
+
+    python scripts/perf_gate.py BENCH_ALL_r04.json
+    python scripts/perf_gate.py --latest   # newest BENCH_ALL_r*.json
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# metric-name prefix -> shapes/sec floor
+FLOORS = {
+    "End-to-end shapes/sec/chip": 9.5,
+    "single-shape forward": 4.7,
+    "full pipeline": 5.4,
+    "multi-vote TTA": 3.2,
+    "reference-default eval (hpnet + usecd)": 2.4,
+    "reference-default eval (hpnet + fold5drop)": 1.7,
+    "bf16 fast path": 9.4,
+    "train step": 8.0,
+}
+
+
+def load_records(path):
+    recs = []
+    with open(path) as f:
+        text = f.read()
+    # the driver's BENCH_r{n}.json wraps the headline in {"parsed": ...};
+    # BENCH_ALL files are plain JSONL
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "parsed" in obj and isinstance(obj["parsed"], dict):
+            obj = obj["parsed"]
+        if "metric" in obj and "value" in obj:
+            recs.append(obj)
+    return recs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path", nargs="?", help="bench JSONL file")
+    ap.add_argument("--latest", action="store_true",
+                    help="use the newest BENCH_ALL_r*.json in the repo")
+    args = ap.parse_args()
+
+    path = args.path
+    if args.latest or path is None:
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_ALL_r*.json")))
+        if not cands:
+            print("perf_gate: no BENCH_ALL_r*.json found", file=sys.stderr)
+            sys.exit(2)
+        path = cands[-1]
+    print(f"perf_gate: checking {path}")
+
+    recs = load_records(path)
+    if not recs:
+        print("perf_gate: no bench records parsed", file=sys.stderr)
+        sys.exit(2)
+
+    failures, checked = [], 0
+    for rec in recs:
+        for prefix, floor in FLOORS.items():
+            if rec["metric"].startswith(prefix):
+                checked += 1
+                v = float(rec["value"])
+                status = "OK " if v >= floor else "FAIL"
+                print(f"  [{status}] {rec['metric'][:52]:52s} "
+                      f"{v:7.3f} (floor {floor})")
+                if v < floor:
+                    failures.append((rec["metric"], v, floor))
+                break
+
+    if checked == 0:
+        print("perf_gate: no known configs in the file", file=sys.stderr)
+        sys.exit(2)
+    if failures:
+        print(f"perf_gate: {len(failures)} config(s) below floor",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"perf_gate: all {checked} checked configs above floors")
+
+
+if __name__ == "__main__":
+    main()

@@ -32,8 +32,7 @@ def per_iter_ms(make, lo=2, hi=10):
 
 def cad_cloud(rng, n):
     from sednet_tpu.data import make_synthetic_shape, normalize_points
-    d = make_synthetic_shape(np.random.RandomState(0), n_points=n,
-                             n_segments=6)
+    d = make_synthetic_shape(rng, n_points=n, n_segments=6)
     return normalize_points(d["points"]).astype(np.float32), d["normals"]
 
 
@@ -46,7 +45,7 @@ def main():
 
     rng = np.random.default_rng(0)
     n = 10000
-    xyz, nrm = cad_cloud(rng, n)
+    xyz, nrm = cad_cloud(np.random.RandomState(0), n)
     x6 = jnp.asarray(np.concatenate([xyz, nrm], -1).astype(np.float32))
     perm = _locality_order(jnp.asarray(xyz))
     x6 = x6[perm]

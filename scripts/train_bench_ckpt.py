@@ -68,6 +68,64 @@ def run_seed(args, root, seed):
     return rec, ckpts, load_params
 
 
+def oracle_rows(root, args):
+    """Quality CEILING rows for the synthetic fixtures (VERDICT r3 #4).
+
+    (a) metric identity: GT labels through the full SIOU_usecd stack must
+        score 1.0 — validates the metric implementation end to end.
+    (b) clustering ceiling: guarded mean-shift (the reference protocol's
+        exact clustering, quantile 0.015 / 50 iters / <=49-cluster guard)
+        on embeddings built from GT one-hots — what a PERFECT embedding
+        network would let the clustering stage achieve on these shapes.
+    (c) same with 0.05-sigma gaussian corruption on the one-hot rows — a
+        near-perfect-embedding bound, more honest about bandwidth
+        estimation than the orthogonal ideal.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sednet_tpu.cluster import guard_mean_shift
+    from sednet_tpu.data.datasets import ParseNetDataset
+    from sednet_tpu.metrics import siou_matched_segments_usecd, to_one_hot
+
+    ds = ParseNetDataset(root, train=False, normals=True)
+    n_eval = min(args.eval_shapes, len(ds))
+    rows = {"metric_identity": [], "cluster_onehot": [], "cluster_noisy": []}
+    rng = np.random.RandomState(0)
+    for i in range(n_eval):
+        item = ds[i]
+        labels = np.asarray(item["labels"]).astype(np.int64)
+        prim = np.asarray(item["prim"]).astype(np.int64)
+        points = np.asarray(item["points"], np.float32)
+
+        def usecd(pred):
+            w = to_one_hot(pred, max(int(pred.max()) + 1, 1))
+            s_iou, _, _, _, _ = siou_matched_segments_usecd(
+                labels, pred, prim, prim, w, points)
+            return float(s_iou)
+
+        rows["metric_identity"].append(usecd(labels))
+
+        emb0 = to_one_hot(labels, max(int(labels.max()) + 1, 2))
+        for key_name, noise in (("cluster_onehot", 0.0),
+                                ("cluster_noisy", 0.05)):
+            emb = emb0 + noise * rng.randn(*emb0.shape).astype(np.float32)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
+            res = guard_mean_shift(
+                jax.random.PRNGKey(i), jnp.asarray(emb),
+                num_samples=min(5000, emb.shape[0]), quantile=0.015,
+                iterations=50)
+            rows[key_name].append(usecd(np.asarray(res.labels)
+                                        .astype(np.int64)))
+    rec = {k: round(float(np.mean(v)), 4) for k, v in rows.items()}
+    rec["n_shapes"] = n_eval
+    print("ORACLE " + json.dumps(rec), flush=True)
+    assert rec["metric_identity"] > 0.999, (
+        "GT-through-SIOU must be 1.0; the metric stack is broken: "
+        f"{rec['metric_identity']}")
+    return rec
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=400)
@@ -86,6 +144,9 @@ def main():
     p.add_argument("--workdir", default="/tmp/sednet_bench_ckpt")
     p.add_argument("--save", action="store_true",
                    help="write checkpoints/bench_10k.npz from the best seed")
+    p.add_argument("--oracle", action="store_true",
+                   help="print metric-identity and clustering-ceiling rows "
+                        "for the eval fixtures (no training)")
     args = p.parse_args()
 
     from sednet_tpu.utils.compile_cache import enable_compilation_cache
@@ -100,6 +161,10 @@ def main():
         print("generating synthetic dataset ...", flush=True)
         write_parsenet_h5(root, n_shapes=args.n_train,
                           n_points=args.n_points, seed=0)
+
+    if args.oracle:
+        oracle_rows(root, args)
+        return
 
     seeds = [int(s) for s in args.seeds.split(",")]
     results = []

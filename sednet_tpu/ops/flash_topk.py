@@ -380,9 +380,14 @@ def topk_neighbors_pallas(x: jax.Array, k: int, **kw):
     return topk_pallas(x, x, k, **kw)
 
 
-def pallas_topk_supported(n: int, dim: int, k: int) -> bool:
+def pallas_topk_supported(n: int, dim: int, k: int,
+                          col_halves: int = 4) -> bool:
     """Whether the fused kernel handles this problem (VMEM budget for the
-    resident (D, N) point set + k within the 128-lane candidate list)."""
+    resident (D, N) point set + k within the 128-lane candidate list).
+
+    col_halves must match topk_pallas's super-tile width: the kernel pads
+    the resident set to a multiple of W*col_halves columns, so the VMEM
+    estimate has to round the same way (ADVICE r3)."""
     d_pad = _round_up(dim, 8)
-    n_cols = _round_up(n, W)
+    n_cols = _round_up(n, W * col_halves)
     return k <= W and d_pad * n_cols * 4 <= 8 * 1024 * 1024

@@ -29,6 +29,11 @@ def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
     b, n, _ = x.shape
     if b == 1:
         return x[0][idx[0]][None]
+    # clamp BEFORE adding the batch offset: the flat table would otherwise
+    # turn an out-of-range index into a silent read from another shape's
+    # rows instead of JAX's usual within-shape clamp (ADVICE r3). The clip
+    # fuses into the index computation — free relative to the gather.
+    idx = jnp.clip(idx, 0, n - 1)
     off = (jnp.arange(b, dtype=idx.dtype) * n)[:, None, None]
     flat = x.reshape(b * n, x.shape[-1])[(idx + off).reshape(-1)]
     return flat.reshape(*idx.shape, x.shape[-1])
