@@ -71,13 +71,16 @@ def main():
         @jax.jit
         def fwd(v, xx):
             out = model.apply(v, xx)
-            return out.embedding
+            # scalar reduce on device: syncing through the relay must not
+            # ship the 40 MB embedding (that transfer costs seconds and
+            # would dominate the measurement)
+            return out.embedding.sum()
 
         return med10(lambda: fwd(variables, x))
 
     def cluster_t():
         emb = model.apply(variables, x).embedding
-        emb = emb / jnp.clip(jnp.linalg.norm(emb, -1, keepdims=True),
+        emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True),
                              min=1e-12)
         emb = jnp.asarray(np.asarray(emb))  # settle
 

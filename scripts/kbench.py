@@ -1,15 +1,28 @@
 """Microbench kernels on the real TPU, amortizing the axon-relay dispatch
 latency (~20 ms/call round-trip) by looping each kernel inside ONE jitted
 fori_loop and differencing two trip counts: per-step = (t_hi - t_lo)/(hi-lo).
-Scalar outputs only. Usage: PYTHONPATH includes the repo root."""
+Scalar outputs only. Usage: PYTHONPATH includes the repo root.
+
+--json PATH appends the run's records as JSON lines so per-round kernel
+numbers are diffable (KBENCH_r{n}.json, VERDICT r3 next-round #8).
+"""
 import argparse
 import functools
+import json
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+RECORDS = []
+
+
+def emit(name, ms, unit="ms"):
+    print(f"{name:34s} {ms:8.2f} {unit}")
+    RECORDS.append({"kernel": name.strip(), "ms": round(ms, 3),
+                    "unit": unit})
 
 
 def timeit(fn, reps=6):
@@ -37,6 +50,8 @@ def cad_cloud(rng, n):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="all")
+    p.add_argument("--json", default=None,
+                   help="append records to this JSONL file")
     args = p.parse_args()
 
     from sednet_tpu.ops.flash_topk import topk_pallas
@@ -66,7 +81,7 @@ def main():
                         return s + idx[0, 0]
                     return lax.fori_loop(0, iters, body, jnp.int32(0))
                 return f
-            print(f"topk {name:22s} {per_step_ms(make):8.2f} ms/call")
+            emit(f"topk {name}", per_step_ms(make), "ms/call")
 
     if args.what in ("all", "ms"):
         emb = rng.normal(0, 1, (n, 128)).astype(np.float32)
@@ -84,8 +99,56 @@ def main():
                     return jnp.sum(o[0])
                 return f
             tag = backend + ("/bf16" if bf16 else "")
-            print(f"mean_shift step [{tag:11s}] "
-                  f"{per_step_ms(make):8.2f} ms/iter")
+            emit(f"mean_shift step [{tag}]", per_step_ms(make), "ms/iter")
+
+    if args.what in ("all", "gather"):
+        # edge-conv layer body A/B: direct (gather -> flax GroupNorm over
+        # (B,N,K,C) -> leaky -> max) vs factored (one gather pass of
+        # sum/sumsq/extremum reductions, stats reconstructed — the (B,N,K,C)
+        # tensor never exists). B=8 matches the bench batch.
+        import flax.linen as nn
+
+        from sednet_tpu.ops.graph import edge_conv_factored, \
+            edge_conv_features
+        from sednet_tpu.ops.knn import knn_indices
+
+        b, c = 8, 64
+        xs = np.stack([cad_cloud(np.random.default_rng(i), n)
+                       for i in range(b)])
+        feat = jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (b, n, c)) .astype(
+                np.float32))
+        idx = knn_indices(jnp.asarray(xs), 64)
+        dense = nn.Dense(c, use_bias=False)
+        dv = dense.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 1, 2 * c), jnp.float32))
+        gn = nn.GroupNorm(num_groups=2)
+        gv = gn.init(jax.random.PRNGKey(1),
+                     jnp.zeros((1, 1, 1, c), jnp.float32))
+
+        def direct(xx, ii):
+            f = edge_conv_features(xx, ii,
+                                   lambda t: dense.apply(dv, t))
+            f = gn.apply(gv, f)
+            return jnp.max(nn.leaky_relu(f, negative_slope=0.2), axis=2)
+
+        def factored(xx, ii):
+            return edge_conv_factored(
+                xx, ii, lambda t: dense.apply(dv, t),
+                gv["params"]["scale"], gv["params"]["bias"], groups=2)
+
+        for name, fn in (("edgeconv direct", direct),
+                         ("edgeconv factored", factored)):
+            def make(iters, fn=fn):
+                @jax.jit
+                def f():
+                    def body(i, s):
+                        y = fn(feat * (1.0 + 1e-6 * i), idx)
+                        return s + y[0, 0, 0]
+                    return lax.fori_loop(0, iters, body, jnp.float32(0))
+                return f
+            emit(f"{name} (b8 n10k k64 c64)", per_step_ms(make),
+                 "ms/batch8")
 
     if args.what in ("all", "spectral"):
         # matfree transpose-mode A/B vs the dense build+solve (the N>16k
@@ -101,16 +164,26 @@ def main():
         nrj = jnp.asarray(nr)
         key = jax.random.PRNGKey(0)
 
-        def dense():
+        def dense_run():
             return np.asarray(spectral_eigvecs(
                 normal_affinity_topk(xyz, nrj), key)[0, 0])
 
-        print(f"spectral dense aff+lobpcg    {timeit(dense) * 1e3:8.1f} ms")
-        for mode in ("scatter", "sorted"):
+        emit("spectral dense aff+lobpcg", timeit(dense_run) * 1e3)
+        for mode in ("scatter", "sorted", "scan"):
             def mf(mode=mode):
                 return np.asarray(spectral_eigvecs_matfree(
                     xyz, nrj, key, transpose_mode=mode)[0, 0])
-            print(f"spectral matfree [{mode:8s}] {timeit(mf) * 1e3:8.1f} ms")
+            emit(f"spectral matfree [{mode}]", timeit(mf) * 1e3)
+
+    if args.json:
+        meta = {"devices": str(jax.devices()), "n_points": n,
+                "what": args.what,
+                "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+        with open(args.json, "a") as f:
+            f.write(json.dumps(meta) + "\n")
+            for r in RECORDS:
+                f.write(json.dumps(r) + "\n")
+        print(f"wrote {len(RECORDS)} records to {args.json}")
 
 
 if __name__ == "__main__":

@@ -88,7 +88,21 @@ def normal_affinity_topk(xyz: jax.Array, normals: jax.Array, *, sigma: float = 0
     a = _dense_sym_from_topk(idx, (w - 1e-12) * 0.5, n)
     # outer product FIRST: s_ij = d_i*d_j equals s_ji exactly (IEEE mult
     # commutes), so a*s stays bitwise symmetric; (a*d_i)*d_j would not
-    return a * (d[:, None] * d[None, :])
+    a = a * (d[:, None] * d[None, :])
+    if target_backend() == "tpu":
+        # store the matrix in bf16: BITWISE-identical LOBPCG on TPU while
+        # halving both the 400 MB result write and every A-read of the
+        # ~30 solver matvecs. Identity argument (measured, ROADMAP r3
+        # "bf16 no-op root cause"): XLA:TPU's DEFAULT dot_general
+        # precision already rounds f32 inputs to bf16 for a single MXU
+        # pass with f32 accumulation — f32-stored and bf16-stored
+        # operands produce bit-equal products — and the affinity's ONLY
+        # consumer is the solver's matvec (spectral_eigvecs wraps it in
+        # a callable so the solver's own iterates stay f32). On CPU XLA
+        # runs true f32 matmuls, so f32 storage stays authoritative
+        # there (and for the parity test suite).
+        a = a.astype(jnp.bfloat16)
+    return a
 
 
 def _dense_sym_from_topk(idx: jax.Array, w: jax.Array, n: int) -> jax.Array:
@@ -175,12 +189,23 @@ def compute_entropy(feat: jax.Array, *, row_block: int = 1024) -> jax.Array:
 def spectral_eigvecs(affinity: jax.Array, key: jax.Array, k: int = 12,
                      iters: int = 10) -> jax.Array:
     """Top-k eigenvectors via LOBPCG, row-normalized
-    (reference: src/smooth_normal_matrix.py:198-199)."""
+    (reference: src/smooth_normal_matrix.py:198-199).
+
+    The affinity may arrive in bf16 (TPU storage layout, see
+    normal_affinity_topk) — the solver runs through a matvec callable so
+    its own iterates/orthonormalizations stay f32; the bf16 @ f32 product
+    promotes to f32 and is bit-equal to the f32-stored product on TPU."""
     from jax.experimental.sparse.linalg import lobpcg_standard
 
     n = affinity.shape[0]
-    x0 = jax.random.normal(key, (n, k), affinity.dtype)
-    _, u, _ = lobpcg_standard(affinity, x0, m=iters)
+    x0 = jax.random.normal(key, (n, k), jnp.float32)
+    if affinity.dtype == jnp.float32:
+        _, u, _ = lobpcg_standard(affinity, x0, m=iters)
+    else:
+        _, u, _ = lobpcg_standard(
+            lambda v: jnp.matmul(affinity, v,
+                                 preferred_element_type=jnp.float32),
+            x0, m=iters)
     return u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-16)
 
 
@@ -208,6 +233,15 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
     return idx, w, jax.lax.rsqrt(deg)
 
 
+def default_transpose_mode() -> str:
+    """Preferred A^T v layout for the matfree LOBPCG matvec by backend:
+    the segmented-scan on TPU (the scatter-add measured 478x slower than
+    a dense matvec on v5e and segment_sum's lowering no better — ROADMAP
+    r3/r4), plain scatter elsewhere (XLA:CPU lowers scatter-add fine and
+    skips the scan's log2(E) passes)."""
+    return "scan" if target_backend() == "tpu" else "scatter"
+
+
 def _sorted_transpose_layout(idx: jax.Array, coef: jax.Array):
     """Once-per-operator layout for scatter-free A^T v.
 
@@ -228,6 +262,39 @@ def _sorted_transpose_layout(idx: jax.Array, coef: jax.Array):
     return src, coef.reshape(-1)[order], dest[order], jnp.cumsum(counts)
 
 
+def _segment_sum_sorted_scan(vals: jax.Array, dest: jax.Array, n: int,
+                             ends: jax.Array) -> jax.Array:
+    """Exact segment sum of `vals` rows grouped by SORTED `dest` ids,
+    with NO scatter and NO cumsum-difference: a segmented inclusive scan
+    (log2(E) shift + compare + masked-add passes — every partial is a
+    plain pairwise ADD, so there is no cancellation; the prefix-sum +
+    boundary-subtract design this replaces lost all precision on the
+    quirk-mode affinity's 1e6 dynamic range, see spectral_eigvecs_matfree).
+    After the scan the LAST row of each segment holds its full sum; `ends`
+    (the per-destination cumulative counts from _sorted_transpose_layout)
+    gathers it. Empty destinations return 0.
+
+    Every pass is a fully vectorized (E, m) sweep — on TPU this replaces
+    the scatter-add that measured 478x slower than a dense matvec and the
+    segment_sum lowering that was no better (ROADMAP r3); traffic is
+    ~2 * E * m * 4 bytes per pass, ceil(log2(E)) passes.
+
+    vals: (E, m) f32, dest: (E,) int32 ascending, ends: (N,) int32.
+    """
+    e = vals.shape[0]
+    s = 1
+    while s < e:
+        # shift down by s: row i accumulates row i-s iff same segment
+        same = dest[s:] == dest[:-s]                       # (E-s,)
+        vals = vals.at[s:].set(
+            vals[s:] + jnp.where(same[:, None], vals[:-s], 0.0))
+        s *= 2
+    counts_pos = ends > jnp.concatenate(
+        [jnp.zeros((1,), ends.dtype), ends[:-1]])
+    last = vals[jnp.clip(ends - 1, 0, e - 1)]              # (N, m)
+    return jnp.where(counts_pos[:, None], last, 0.0)
+
+
 def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                              key: jax.Array, *, sigma: float = 0.1,
                              knn: int = 50, k: int = 12,
@@ -244,24 +311,31 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                  at N=2048, ROADMAP r3 item 1);
       "sorted"   one argsort by destination per OPERATOR (amortized over
                  the ~3*iters matvecs), then per matvec: gather + one
-                 sorted-segment sum (exact, same f32 sums as scatter).
+                 sorted-segment sum (exact, same f32 sums as scatter);
+      "scan"     same sorted layout, but the segment reduction is a
+                 segmented inclusive scan — ceil(log2(E)) fully
+                 vectorized shift+masked-add passes, NO scatter and no
+                 segment_sum lowering anywhere in the iteration (both
+                 measured pathologically slow on v5e). This is the TPU
+                 route past the dense-affinity HBM cap.
 
-    A third design (prefix-sum + boundary-gather segment reduction, no
+    A fourth design (prefix-sum + boundary-gather segment reduction, no
     segment op at all) was tried and REJECTED: the quirk-mode affinity's
     rsq spans ~1e6 when farthest-neighbour weights underflow, and the
     cumsum-difference loses all relative precision on small segments
-    (measured rel-err > 1 on the unit test's 70-point fixture).
+    (measured rel-err > 1 on the unit test's 70-point fixture). The
+    "scan" mode keeps exactness because every partial is a pairwise ADD.
     """
     from jax.experimental.sparse.linalg import lobpcg_standard
 
-    if transpose_mode not in ("scatter", "sorted"):
+    if transpose_mode not in ("scatter", "sorted", "scan"):
         raise ValueError(f"unknown transpose_mode {transpose_mode!r}")
     n = xyz.shape[0]
     idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn,
                                          idx=idx)
     coef = w * rsq[idx] * rsq[:, None]   # full entry coefficient (N, k)
-    if transpose_mode == "sorted":
-        src_s, coef_s, dest_s, _ = _sorted_transpose_layout(idx, coef)
+    if transpose_mode in ("sorted", "scan"):
+        src_s, coef_s, dest_s, ends_s = _sorted_transpose_layout(idx, coef)
 
     def matvec(v):  # v: (N, m)
         # A v where A[i, idx[i,j]] = rsq[i] w[i,j] rsq[idx[i,j]]
@@ -271,10 +345,13 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
             contrib = coef[..., None] * v[:, None, :]        # (N, k, m)
             atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
                 contrib.reshape(-1, v.shape[1]))
-        else:
+        elif transpose_mode == "sorted":
             vals = coef_s[:, None] * v[src_s]                # (E, m)
             atv = jax.ops.segment_sum(vals, dest_s, num_segments=n,
                                       indices_are_sorted=True)
+        else:
+            vals = coef_s[:, None] * v[src_s]                # (E, m)
+            atv = _segment_sum_sorted_scan(vals, dest_s, n, ends_s)
         return 0.5 * (av + atv)
 
     x0 = jax.random.normal(key, (n, k), jnp.float32)

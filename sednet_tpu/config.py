@@ -105,6 +105,13 @@ class Config:
     # operator (test_matfree_matvec_matches_dense) and remains the
     # out-of-HBM escape hatch (N > dense cap, sharded enrichment).
     spectral_dense_max_n: int = 16384
+    # factored edge-conv GroupNorm: ONE gather pass of (sum, sumsq,
+    # signed-extremum) reductions reconstructs the GN statistics exactly
+    # (fixed K items per point), so the (B, N, K, C) gathered tensor never
+    # reaches HBM — forward AND backward (the stats totals are the same
+    # quantities the direct path differentiates). Exact up to float
+    # reassociation; same parameter tree as the direct path. On by default
+    factored_gn: bool = True
     fused_encoder: bool = False  # index-free fused edge-conv inference
     # encoder (ops.fused_edgeconv): no kNN index/gather materialization;
     # exact on CPU, ~7e-3 rad embedding drift on TPU (bf16 matmul fp-order

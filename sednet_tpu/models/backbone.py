@@ -20,9 +20,24 @@ import jax
 import jax.numpy as jnp
 
 from sednet_tpu.ops.flash_topk import pallas_topk_supported
-from sednet_tpu.ops.graph import edge_conv_features
+from sednet_tpu.ops.graph import edge_conv_factored, edge_conv_features
 from sednet_tpu.ops.knn import knn_indices, knn_indices_points_normals
 from sednet_tpu.ops.dispatch import target_backend
+
+
+class _GNParams(nn.Module):
+    """Parameter holder matching nn.GroupNorm's tree ({scale, bias}) so the
+    factored edge-conv path (ops.graph.edge_conv_factored) reads the SAME
+    checkpoint slots the direct nn.GroupNorm path trains — the two paths
+    are interchangeable on one parameter tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
 
 
 class EdgeConv(nn.Module):
@@ -40,11 +55,22 @@ class EdgeConv(nn.Module):
     # runs the factored matmuls on the MXU's native input type; GroupNorm
     # statistics stay f32 (flax upcasts stats for sub-f32 dtypes)
     dtype: jnp.dtype = jnp.float32
+    # factored GroupNorm: reconstruct the GN statistics from one
+    # gather-pass of (sum, sum-of-squares, signed extremum) reductions so
+    # the (B, N, K, C) tensor never exists (ops.graph.edge_conv_factored;
+    # exact up to float reassociation, same parameter tree). f32 only —
+    # under bf16 compute the direct path's rounding points diverge
+    factored_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, idx: jax.Array) -> jax.Array:
         dense = nn.Dense(self.out_channels, use_bias=False, name="conv",
                          dtype=self.dtype)
+        if self.factored_gn and self.dtype == jnp.float32:
+            scale, bias = _GNParams(self.out_channels, name="gn")()
+            return edge_conv_factored(
+                x, idx, dense, scale, bias, groups=self.groups,
+                negative_slope=self.negative_slope)
         f = edge_conv_features(x.astype(self.dtype), idx, dense)
         f = nn.GroupNorm(num_groups=self.groups, name="gn",
                          dtype=self.dtype)(f)      # (B, N, K, C_out)
@@ -73,6 +99,8 @@ class DGCNNEncoder(nn.Module):
     # tests force True on CPU to pin the permutation-equivariance of the
     # sorted-order path against the unsorted one
     sort_points: bool | None = None
+    # see EdgeConv.factored_gn
+    factored_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, idx1: jax.Array | None = None):
@@ -119,15 +147,15 @@ class DGCNNEncoder(nn.Module):
             else:
                 idx1 = knn_indices(x, self.k, **sort_kw)
         x1 = EdgeConv(64, groups=2, k=self.k, dtype=self.dtype,
-                      name="conv1")(x, idx1)
+                      factored_gn=self.factored_gn, name="conv1")(x, idx1)
 
         idx2 = knn_indices(x1.astype(jnp.float32), self.k, **sort_kw)
         x2 = EdgeConv(64, groups=2, k=self.k, dtype=self.dtype,
-                      name="conv2")(x1, idx2)
+                      factored_gn=self.factored_gn, name="conv2")(x1, idx2)
 
         idx3 = knn_indices(x2.astype(jnp.float32), self.k, **sort_kw)
         x3 = EdgeConv(128, groups=2, k=self.k, dtype=self.dtype,
-                      name="conv3")(x2, idx3)
+                      factored_gn=self.factored_gn, name="conv3")(x2, idx3)
 
         feats = jnp.concatenate([x1, x2, x3], axis=-1)  # (B, N, 256)
         h = nn.Dense(1024, name="mlp1", dtype=self.dtype)(feats)

@@ -59,6 +59,9 @@ class SEDNet(nn.Module):
     # and f32 outputs — the standard TPU mixed-precision recipe. The
     # reference has no equivalent (f32 CUDA throughout)
     dtype: jnp.dtype = jnp.float32
+    # reconstruct edge-conv GroupNorm stats from one gather pass instead
+    # of materializing (B, N, K, C) (see models.backbone.EdgeConv)
+    factored_gn: bool = False
 
     @nn.compact
     def __call__(self, points: jax.Array,
@@ -78,7 +81,7 @@ class SEDNet(nn.Module):
             global_feat, feats = DGCNNEncoder(
                 mode=self.mode, k=self.k,
                 normal_metric_w=self.normal_metric_w, dtype=self.dtype,
-                name="encoder",
+                factored_gn=self.factored_gn, name="encoder",
             )(points, idx1)
 
         dt = self.dtype

@@ -71,6 +71,76 @@ def edge_conv_features(x: jax.Array, idx: jax.Array, dense) -> jax.Array:
     return gather_neighbors(a, idx) + b[:, :, None, :]
 
 
+def edge_conv_factored(x: jax.Array, idx: jax.Array, dense,
+                       scale: jax.Array, bias: jax.Array, *, groups: int,
+                       negative_slope: float = 0.2,
+                       eps: float = 1e-6) -> jax.Array:
+    """Full edge-conv layer output WITHOUT materializing (B, N, K, C).
+
+    Equals leaky_relu(GroupNorm(dense(edge_features)), slope).max(K) — the
+    body of models.backbone.EdgeConv — up to float reassociation, but the
+    gathered tensor (164 MB/shape at the reference's N=10k, k=64, C=64;
+    reference hot loop src/PointNet.py:140-171) is never written to HBM:
+
+      * the matmul is factored through the gather as in edge_conv_features:
+        f[b,i,k,c] = a[b, idx[b,i,k], c] + bb[b,i,c] with a = x @ W_top,
+        bb = x @ (W_bot - W_top);
+      * ONE gather pass reduces over K into three (B, N, C) tensors —
+        s = sum_k f-part, sq = sum_k (f-part)^2, and the per-channel
+        signed extremum ext (max where the GN scale is >= 0, min where it
+        is negative);
+      * GroupNorm statistics are linear/quadratic in f, so they are
+        recovered exactly from (s, sq, bb): per (batch, group)
+          S1 = sum_{i,c in g} (s + K*bb),
+          S2 = sum_{i,c in g} (sq + 2*bb*s + K*bb^2),
+        with a FIXED item count N*K*gsz (no neighbour-count bookkeeping —
+        unlike the threshold-based fused_edgeconv kernel, the indexed
+        neighbour set always has exactly K members). Crucially
+        sum_i s[b,i,c] already equals sum_p count[p] * a[b,p,c], so no
+        scatter/bincount is needed anywhere;
+      * GN-affine + LeakyReLU is monotone per channel with direction
+        sign(scale), so max_k leaky(GN(f)) = leaky(GN(ext + bb)).
+
+    Statistics match flax.linen.GroupNorm's use_fast_variance=True
+    default (mean of squares minus squared mean, eps inside rsqrt).
+    Gradients are exact too: stats gradients flow through s/sq (the same
+    totals the direct path differentiates) and the extremum picks the
+    same argmax element the direct path's max does.
+
+    x: (B, N, C_in); idx: (B, N, K); dense: bias-free flax Dense
+    (2*C_in -> C); scale/bias: (C,) GroupNorm affine. Returns (B, N, C).
+    """
+    zeros = jnp.zeros_like(x)
+    a = dense(jnp.concatenate([x, zeros], axis=-1))   # x @ W_top
+    bb = dense(jnp.concatenate([-x, x], axis=-1))     # x @ (W_bot - W_top)
+    sign = jnp.where(scale >= 0, 1.0, -1.0)           # (C,)
+
+    g = gather_neighbors(a * sign[None, None, :], idx)  # (B, N, K, C)
+    s = jnp.sum(g, axis=2) * sign                     # sum_k a[idx]
+    sq = jnp.sum(g * g, axis=2)                       # sign^2 == 1
+    ext = jnp.max(g, axis=2) * sign                   # signed extremum of a
+
+    b, n, c = a.shape
+    k = idx.shape[2]
+    gsz = c // groups
+
+    def grp(v):                                       # (B,N,C)->(B,N,G,gsz)
+        return v.reshape(b, n, groups, gsz)
+
+    tot = jnp.float32(n * k * gsz)
+    s1 = jnp.sum(grp(s + k * bb), axis=(1, 3))                    # (B, G)
+    s2 = jnp.sum(grp(sq + 2.0 * bb * s + k * bb * bb), axis=(1, 3))
+    mean = s1 / tot
+    var = jnp.maximum(s2 / tot - mean * mean, 0.0)
+    mul = jax.lax.rsqrt(var + eps)                                # (B, G)
+
+    mean_c = jnp.repeat(mean, gsz, axis=1)[:, None, :]            # (B,1,C)
+    mul_c = jnp.repeat(mul, gsz, axis=1)[:, None, :]
+    y = (ext + bb - mean_c) * mul_c * scale[None, None, :] \
+        + bias[None, None, :]
+    return jax.nn.leaky_relu(y, negative_slope=negative_slope)
+
+
 def edge_features_cross(
     pos: jax.Array, feat: jax.Array, idx: jax.Array, use_pos: bool = False
 ) -> jax.Array:

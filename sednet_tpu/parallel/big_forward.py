@@ -181,11 +181,16 @@ def big_cloud_segment(params, x: jax.Array, mesh: Mesh, key, *, k: int = 64,
             raise ValueError("hpnet enrichment needs normals (mode 5 input)")
         shard = NamedSharding(mesh, P(DATA_AXIS))
         key, ekey = jax.random.split(key)
+        from sednet_tpu.cluster.spectral import default_transpose_mode
+
+        # backend-resolved A^T v layout: the segmented scan on TPU (its
+        # shift passes shard as halo permutes under GSPMD), scatter on
+        # the CPU test mesh
         emb = hpnet_enrich(out.embedding, x[:, :3], x[:, 3:6], ekey,
                            normal_smooth_w=normal_smooth_w,
                            sigma=spectral_sigma, knn=spectral_knn,
                            eig_k=spectral_eigvecs,
-                           transpose_mode="sorted")
+                           transpose_mode=default_transpose_mode())
         emb = lax.with_sharding_constraint(emb, shard)
     else:
         emb = out.embedding / jnp.clip(

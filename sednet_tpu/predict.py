@@ -319,13 +319,21 @@ def predict_shapes(
                 # single-shape threshold accordingly
                 per_dev = -(-b // mesh.size)
                 matfree = (x.shape[1] ** 2) * per_dev >                     cfg.spectral_dense_max_n ** 2
-            enrich = (_hpnet_enrich_batch if matfree
-                      else _hpnet_enrich_batch_dense)
-            emb_n = enrich(
-                embedding, xyz, norm_j, keys_e,
-                normal_smooth_w=cfg.normal_smooth_w,
-                sigma=cfg.spectral_sigma, knn=cfg.spectral_knn,
-                eig_k=cfg.spectral_eigvecs)
+            if matfree:
+                from sednet_tpu.cluster.spectral import default_transpose_mode
+
+                emb_n = _hpnet_enrich_batch(
+                    embedding, xyz, norm_j, keys_e,
+                    normal_smooth_w=cfg.normal_smooth_w,
+                    sigma=cfg.spectral_sigma, knn=cfg.spectral_knn,
+                    eig_k=cfg.spectral_eigvecs,
+                    transpose_mode=default_transpose_mode())
+            else:
+                emb_n = _hpnet_enrich_batch_dense(
+                    embedding, xyz, norm_j, keys_e,
+                    normal_smooth_w=cfg.normal_smooth_w,
+                    sigma=cfg.spectral_sigma, knn=cfg.spectral_knn,
+                    eig_k=cfg.spectral_eigvecs)
         else:
             # per-shape dispatch (Pallas spectral kNN runs unrolled, not
             # under vmap), but with cache writes DEFERRED so no host sync

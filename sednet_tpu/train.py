@@ -66,6 +66,7 @@ def build_model(cfg: Config) -> SEDNet:
         combine_label_prim=cfg.combine_label_prim,
         predict_normal=cfg.predict_normal,
         dtype=jnp.bfloat16 if cfg.model_bf16 else jnp.float32,
+        factored_gn=cfg.factored_gn,
     )
 
 

@@ -206,17 +206,49 @@ def test_matfree_transpose_modes_agree(rng):
         indices_are_sorted=True))
     np.testing.assert_allclose(atv_sorted, atv_ref, rtol=2e-4, atol=1e-5)
 
-    base = np.asarray(spectral_eigvecs_matfree(
-        jnp.asarray(xyz), jnp.asarray(nrm), jax.random.PRNGKey(0), knn=k,
-        k=4, iters=15))
-    got = np.asarray(spectral_eigvecs_matfree(
-        jnp.asarray(xyz), jnp.asarray(nrm), jax.random.PRNGKey(0),
-        knn=k, k=4, iters=15, transpose_mode="sorted"))
-    assert got.shape == base.shape and np.isfinite(got).all()
-    # identical operator + identical x0: LOBPCG iterates track each other
-    # up to the A^T v summation-order drift (segment order vs scatter
-    # order), so the row-normalized outputs agree to float-noise level
-    np.testing.assert_allclose(got, base, atol=5e-2)
+    # the segmented-scan reduction (the TPU route past the dense cap —
+    # pairwise adds only, so it survives the same 1e6-range fixture)
+    from sednet_tpu.cluster.spectral import _segment_sum_sorted_scan
+
+    atv_scan = np.asarray(_segment_sum_sorted_scan(
+        jnp.asarray(vals), jnp.asarray(dest_s), n, jnp.asarray(ends)))
+    np.testing.assert_allclose(atv_scan, atv_ref, rtol=2e-4, atol=1e-5)
+
+    # Eigvec-LEVEL cross-mode agreement is fundamentally not a valid
+    # invariant here (measured, round 4): the reference's farthest-
+    # neighbour quirk affinity has extremely LOCALIZED top eigenvectors
+    # (on a structured 256-pt 4-segment fixture the dense-eigh truth
+    # subspace's median row norm is 0.0), so after the row
+    # normalization most rows are pure noise and any ulp-level
+    # summation-order change flips them — scatter-vs-eigh itself
+    # differs by 2.0 in row-Gram. The invariant that matters is the
+    # DOWNSTREAM one: the enriched embedding feeds guarded mean-shift,
+    # and the label partition must agree across every transpose mode.
+    from sednet_tpu.cluster import guard_mean_shift
+    from sednet_tpu.cluster.spectral import hpnet_enrich
+    from sednet_tpu.data import make_synthetic_shape
+
+    d = make_synthetic_shape(np.random.RandomState(5), n_points=256,
+                             n_segments=4)
+    xyz2 = jnp.asarray(d["points"].astype(np.float32))
+    nrm2 = jnp.asarray(d["normals"].astype(np.float32))
+    lab = d["labels"].astype(np.int64)
+    oh = np.zeros((256, 8), np.float32)
+    oh[np.arange(256), lab] = 1.0
+    oh += 0.05 * np.random.RandomState(1).randn(*oh.shape)
+    oh /= np.linalg.norm(oh, axis=1, keepdims=True)
+    emb0 = jnp.asarray(oh.astype(np.float32))
+    outs = {}
+    for mode in ("scatter", "sorted", "scan"):
+        e = hpnet_enrich(emb0, xyz2, nrm2, jax.random.PRNGKey(2), knn=12,
+                         eig_k=4, transpose_mode=mode)
+        res = guard_mean_shift(jax.random.PRNGKey(3), e, num_samples=256,
+                               quantile=0.015, iterations=30)
+        outs[mode] = (np.asarray(res.labels), int(res.num_clusters))
+    k_gt = int(np.unique(lab).shape[0])
+    for mode, (l, num) in outs.items():
+        assert num == k_gt, (mode, num, k_gt)
+        assert (l == outs["scatter"][0]).all(), mode
 
 
 def test_hpnet_process_concat_shapes(rng):
@@ -385,3 +417,29 @@ def test_normal_affinity_matches_scatter_construction(rng):
     assert (np.abs(a - ref) <= bound).all(), (
         f"max excess {(np.abs(a - ref) - bound).max():.3e}")
     np.testing.assert_array_equal(a, a.T)  # bitwise symmetric
+
+
+def test_spectral_eigvecs_bf16_affinity_path(rng):
+    """On TPU the affinity is STORED in bf16 (bitwise-identical matvecs
+    there — the MXU rounds f32 dot inputs to bf16 anyway; see
+    normal_affinity_topk). Pin that the solver's callable path accepts a
+    bf16 matrix and produces finite, unit-row f32 eigvecs."""
+    from sednet_tpu.cluster.spectral import spectral_eigvecs
+
+    n = 96
+    m = rng.randn(n, n).astype(np.float32) * 0.01
+    m = m @ m.T + np.eye(n, dtype=np.float32)
+    v = spectral_eigvecs(jnp.asarray(m).astype(jnp.bfloat16),
+                         jax.random.PRNGKey(0), k=4)
+    v = np.asarray(v)
+    assert v.dtype == np.float32 and v.shape == (n, 4)
+    assert np.isfinite(v).all()
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-5)
+    # same operator in f32: the row-normalized eigvecs must span the same
+    # subspace on CPU up to bf16 entry rounding of a well-conditioned
+    # matrix (this fixture's spectrum is far from degenerate)
+    v32 = np.asarray(spectral_eigvecs(jnp.asarray(m),
+                                      jax.random.PRNGKey(0), k=4))
+    gram = v.T @ v32
+    s = np.linalg.svd(gram, compute_uv=False)
+    assert s.min() > 0.9

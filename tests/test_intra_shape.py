@@ -151,7 +151,8 @@ def test_big_cloud_segment_hpnet_matches_single_device(rng):
 
     from sednet_tpu.cluster.mean_shift import compute_bandwidth, nms, \
         mean_shift_iterate
-    from sednet_tpu.cluster.spectral import hpnet_enrich
+    from sednet_tpu.cluster.spectral import default_transpose_mode, \
+        hpnet_enrich
     from sednet_tpu.data import make_synthetic_shape
     from sednet_tpu.models import SEDNet
     from sednet_tpu.parallel import big_cloud_segment, big_sednet_forward, \
@@ -177,7 +178,8 @@ def test_big_cloud_segment_hpnet_matches_single_device(rng):
     out = big_sednet_forward(params, x, mesh, k=k, mode=5)
     _, ekey = jax.random.split(key)
     emb = hpnet_enrich(np.asarray(out.embedding), x[:, :3], x[:, 3:6],
-                       ekey, knn=12, eig_k=4, transpose_mode="sorted")
+                       ekey, knn=12, eig_k=4,
+                       transpose_mode=default_transpose_mode())
     bw = jnp.clip(compute_bandwidth(key, emb, n, jnp.float32(0.015)),
                   min=0.003)
     shifted = mean_shift_iterate(emb, bw, 10)

@@ -204,3 +204,64 @@ def test_train_step_bf16_runs_and_updates():
     moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
                 for a, b in zip(jax.tree.leaves(params), leaves))
     assert moved > 0
+
+
+def test_factored_gn_matches_direct(sednet_vars):
+    """The factored edge-conv GroupNorm (one gather pass, stats
+    reconstructed from sum/sumsq/extremum — ops.graph.edge_conv_factored)
+    must reproduce the direct nn.GroupNorm path on the SAME parameter
+    tree, for outputs AND gradients."""
+    model, variables, x = sednet_vars
+    fac = SEDNet(emb_size=32, num_primitives=6, mode=5, k=K,
+                 factored_gn=True)
+    out_d = model.apply(variables, x)
+    out_f = fac.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_f.embedding),
+                               np.asarray(out_d.embedding),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f.type_log_prob),
+                               np.asarray(out_d.type_log_prob),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_f.edge_logits),
+                               np.asarray(out_d.edge_logits),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        def f(v):
+            o = m.apply(v, x)
+            return (jnp.sum(o.embedding ** 2)
+                    + jnp.sum(o.type_log_prob * o.type_log_prob)
+                    + jnp.sum(o.edge_logits ** 2))
+        return f
+
+    g_d = jax.grad(loss(model))(variables)
+    g_f = jax.grad(loss(fac))(variables)
+    flat_d = jax.tree_util.tree_leaves(g_d)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    for a, b in zip(flat_d, flat_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_factored_gn_negative_scale_extremum():
+    """A NEGATIVE GroupNorm scale flips the channel's monotone direction:
+    max_k leaky(GN(f)) must come from the per-channel MINIMUM of the
+    pre-GN values. Pin it by surgically negating one scale entry."""
+    model = SEDNet(emb_size=16, num_primitives=6, mode=0, k=K)
+    fac = SEDNet(emb_size=16, num_primitives=6, mode=0, k=K,
+                 factored_gn=True)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, N, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    kscale = ("encoder", "conv1", "gn", "scale")
+    s = np.array(flat[kscale])
+    s[: s.shape[0] // 2] = -np.abs(s[: s.shape[0] // 2]) - 0.5
+    flat[kscale] = jnp.asarray(s)
+    variables = {"params": flax.traverse_util.unflatten_dict(flat)}
+    out_d = model.apply(variables, x)
+    out_f = fac.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_f.embedding),
+                               np.asarray(out_d.embedding),
+                               rtol=2e-4, atol=2e-4)
