@@ -92,6 +92,14 @@ def main():
     p.add_argument("--all", action="store_true")
     args = p.parse_args()
 
+    load1 = os.getloadavg()[0]
+    if load1 > 1.5:
+        import sys
+        print(f"WARNING: host 1-min load {load1:.1f} — another process is "
+              "competing for the host CPU; relay dispatch/sync inflates "
+              "25%+ under contention (do not trust this run's numbers)",
+              file=sys.stderr)
+
     from sednet_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -407,6 +415,11 @@ def main():
         "worst": round(BATCH / max(ts), 3),
         "vs_baseline": round(shapes_per_sec / BASELINE_SHAPES_PER_SEC, 3),
         "weights": weights_tag,
+        # 1-min host load at measurement time: a busy host inflates the
+        # relay's dispatch/sync path by 25%+ (measured round 4: the CPU
+        # test suite running concurrently turned a 480 ms forward into
+        # 630 ms), so a high value here marks the record as polluted
+        "host_load": round(os.getloadavg()[0], 2),
     }
     ref_cpu = _reference_cpu()
     if "headline_comparable" in ref_cpu:
