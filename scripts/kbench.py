@@ -19,10 +19,16 @@ from jax import lax
 RECORDS = []
 
 
+JSON_PATH = None
+
+
 def emit(name, ms, unit="ms"):
-    print(f"{name:34s} {ms:8.2f} {unit}")
-    RECORDS.append({"kernel": name.strip(), "ms": round(ms, 3),
-                    "unit": unit})
+    print(f"{name:34s} {ms:8.2f} {unit}", flush=True)
+    rec = {"kernel": name.strip(), "ms": round(ms, 3), "unit": unit}
+    RECORDS.append(rec)
+    if JSON_PATH:  # append as we go — a timeout mustn't lose the run
+        with open(JSON_PATH, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 def timeit(fn, reps=6):
@@ -48,18 +54,35 @@ def cad_cloud(rng, n):
 
 
 def main():
+    global JSON_PATH
     p = argparse.ArgumentParser()
     p.add_argument("--what", default="all")
     p.add_argument("--json", default=None,
                    help="append records to this JSONL file")
+    p.add_argument("--spectral-modes", default="scan",
+                   help="comma list of matfree transpose modes to time; "
+                        "scatter/sorted are 100-500x slower than dense at "
+                        "this N (round-3 measurement) and opt-in only")
+    p.add_argument("--spectral-reps", type=int, default=3)
     args = p.parse_args()
+
+    from sednet_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from sednet_tpu.ops.flash_topk import topk_pallas
     from sednet_tpu.cluster.mean_shift import mean_shift_iterate
 
     rng = np.random.default_rng(0)
-    print("devices:", jax.devices())
+    print("devices:", jax.devices(), flush=True)
     n = 10000
+
+    if args.json:
+        JSON_PATH = args.json
+        meta = {"devices": str(jax.devices()), "n_points": n,
+                "what": args.what,
+                "time": time.strftime("%Y-%m-%d %H:%M:%S")}
+        with open(JSON_PATH, "a") as f:
+            f.write(json.dumps(meta) + "\n")
 
     if args.what in ("all", "topk"):
         x = jnp.asarray(cad_cloud(rng, n))
@@ -169,20 +192,14 @@ def main():
                 normal_affinity_topk(xyz, nrj), key)[0, 0])
 
         emit("spectral dense aff+lobpcg", timeit(dense_run) * 1e3)
-        for mode in ("scatter", "sorted", "scan"):
+        for mode in [m for m in args.spectral_modes.split(",") if m]:
             def mf(mode=mode):
                 return np.asarray(spectral_eigvecs_matfree(
                     xyz, nrj, key, transpose_mode=mode)[0, 0])
-            emit(f"spectral matfree [{mode}]", timeit(mf) * 1e3)
+            emit(f"spectral matfree [{mode}]",
+                 timeit(mf, reps=args.spectral_reps) * 1e3)
 
     if args.json:
-        meta = {"devices": str(jax.devices()), "n_points": n,
-                "what": args.what,
-                "time": time.strftime("%Y-%m-%d %H:%M:%S")}
-        with open(args.json, "a") as f:
-            f.write(json.dumps(meta) + "\n")
-            for r in RECORDS:
-                f.write(json.dumps(r) + "\n")
         print(f"wrote {len(RECORDS)} records to {args.json}")
 
 
