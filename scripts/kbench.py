@@ -187,15 +187,23 @@ def main():
         nrj = jnp.asarray(nr)
         key = jax.random.PRNGKey(0)
 
+        # jit the whole solve: lobpcg_standard run eagerly is hundreds of
+        # small dispatches, each paying the ~20 ms relay round-trip — an
+        # unjitted run times the relay, not the kernel (the production
+        # path in predict._hpnet_enrich_batch is always jitted).
+        dense_jit = jax.jit(lambda x, m, s: spectral_eigvecs(
+            normal_affinity_topk(x, m), s))
+
         def dense_run():
-            return np.asarray(spectral_eigvecs(
-                normal_affinity_topk(xyz, nrj), key)[0, 0])
+            return np.asarray(dense_jit(xyz, nrj, key)[0, 0])
 
         emit("spectral dense aff+lobpcg", timeit(dense_run) * 1e3)
         for mode in [m for m in args.spectral_modes.split(",") if m]:
-            def mf(mode=mode):
-                return np.asarray(spectral_eigvecs_matfree(
-                    xyz, nrj, key, transpose_mode=mode)[0, 0])
+            mf_jit = jax.jit(functools.partial(
+                spectral_eigvecs_matfree, transpose_mode=mode))
+
+            def mf(mf_jit=mf_jit):
+                return np.asarray(mf_jit(xyz, nrj, key)[0, 0])
             emit(f"spectral matfree [{mode}]",
                  timeit(mf, reps=args.spectral_reps) * 1e3)
 
