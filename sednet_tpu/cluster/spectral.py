@@ -186,6 +186,7 @@ def compute_entropy(feat: jax.Array, *, row_block: int = 1024) -> jax.Array:
     return jnp.sum(lax.map(sum_entropy, starts)) / (n * n)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
 def spectral_eigvecs(affinity: jax.Array, key: jax.Array, k: int = 12,
                      iters: int = 10) -> jax.Array:
     """Top-k eigenvectors via LOBPCG, row-normalized
@@ -194,7 +195,13 @@ def spectral_eigvecs(affinity: jax.Array, key: jax.Array, k: int = 12,
     The affinity may arrive in bf16 (TPU storage layout, see
     normal_affinity_topk) — the solver runs through a matvec callable so
     its own iterates/orthonormalizations stay f32; the bf16 @ f32 product
-    promotes to f32 and is bit-equal to the f32-stored product on TPU."""
+    promotes to f32 and is bit-equal to the f32-stored product on TPU.
+
+    MUST stay jitted at module level: the matvec lambda has a fresh
+    identity per call, and an EAGER call re-traces lobpcg_standard's
+    internal loop through it every time (~10 s recompile per shape —
+    measured as the round-4 0.019 shapes/s eval collapse). Under this
+    jit the trace is cached on (shape, dtype, k, iters)."""
     from jax.experimental.sparse.linalg import lobpcg_standard
 
     n = affinity.shape[0]
@@ -295,6 +302,8 @@ def _segment_sum_sorted_scan(vals: jax.Array, dest: jax.Array, n: int,
     return jnp.where(counts_pos[:, None], last, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "knn", "k", "iters",
+                                              "transpose_mode"))
 def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                              key: jax.Array, *, sigma: float = 0.1,
                              knn: int = 50, k: int = 12,
