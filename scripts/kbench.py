@@ -59,7 +59,7 @@ def main():
     p.add_argument("--what", default="all")
     p.add_argument("--json", default=None,
                    help="append records to this JSONL file")
-    p.add_argument("--spectral-modes", default="scan",
+    p.add_argument("--spectral-modes", default="pallas,scan",
                    help="comma list of matfree transpose modes to time; "
                         "scatter/sorted are 100-500x slower than dense at "
                         "this N (round-3 measurement) and opt-in only")

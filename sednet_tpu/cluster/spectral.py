@@ -242,11 +242,12 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
 
 def default_transpose_mode() -> str:
     """Preferred A^T v layout for the matfree LOBPCG matvec by backend:
-    the segmented-scan on TPU (the scatter-add measured 478x slower than
-    a dense matvec on v5e and segment_sum's lowering no better — ROADMAP
-    r3/r4), plain scatter elsewhere (XLA:CPU lowers scatter-add fine and
-    skips the scan's log2(E) passes)."""
-    return "scan" if target_backend() == "tpu" else "scatter"
+    the one-pass Pallas segmented scan on TPU (the scatter-add measured
+    478x slower than a dense matvec on v5e, segment_sum's lowering no
+    better, and the whole-array XLA scan pays ceil(log2(E)) full HBM
+    passes per matvec — ROADMAP r3/r4), plain scatter elsewhere (XLA:CPU
+    lowers scatter-add fine and skips every scan pass)."""
+    return "pallas" if target_backend() == "tpu" else "scatter"
 
 
 def _sorted_transpose_layout(idx: jax.Array, coef: jax.Array):
@@ -325,8 +326,14 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                  segmented inclusive scan — ceil(log2(E)) fully
                  vectorized shift+masked-add passes, NO scatter and no
                  segment_sum lowering anywhere in the iteration (both
-                 measured pathologically slow on v5e). This is the TPU
-                 route past the dense-affinity HBM cap.
+                 measured pathologically slow on v5e);
+      "pallas"   the scan fused into ONE streaming Pallas kernel
+                 (ops.pallas_kernels.segsum_sorted_scan_pallas): the
+                 shift passes run in VMEM with a sequential-grid carry,
+                 so HBM sees one read + one write of the (E, m) entries
+                 instead of ceil(log2(E)) full passes. Same adds in the
+                 same order as "scan" (exact). This is the TPU route
+                 past the dense-affinity HBM cap.
 
     A fourth design (prefix-sum + boundary-gather segment reduction, no
     segment op at all) was tried and REJECTED: the quirk-mode affinity's
@@ -337,13 +344,13 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
     """
     from jax.experimental.sparse.linalg import lobpcg_standard
 
-    if transpose_mode not in ("scatter", "sorted", "scan"):
+    if transpose_mode not in ("scatter", "sorted", "scan", "pallas"):
         raise ValueError(f"unknown transpose_mode {transpose_mode!r}")
     n = xyz.shape[0]
     idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn,
                                          idx=idx)
     coef = w * rsq[idx] * rsq[:, None]   # full entry coefficient (N, k)
-    if transpose_mode in ("sorted", "scan"):
+    if transpose_mode in ("sorted", "scan", "pallas"):
         src_s, coef_s, dest_s, ends_s = _sorted_transpose_layout(idx, coef)
 
     def matvec(v):  # v: (N, m)
@@ -358,6 +365,15 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
             vals = coef_s[:, None] * v[src_s]                # (E, m)
             atv = jax.ops.segment_sum(vals, dest_s, num_segments=n,
                                       indices_are_sorted=True)
+        elif transpose_mode == "pallas":
+            from sednet_tpu.ops.pallas_kernels import (
+                segsum_sorted_scan_pallas)
+
+            # build the entries TRANSPOSED: the E axis rides the lanes
+            vals_t = coef_s[None, :] * v.T[:, src_s]         # (m, E)
+            atv = segsum_sorted_scan_pallas(
+                vals_t, dest_s, ends_s,
+                interpret=target_backend() != "tpu")
         else:
             vals = coef_s[:, None] * v[src_s]                # (E, m)
             atv = _segment_sum_sorted_scan(vals, dest_s, n, ends_s)

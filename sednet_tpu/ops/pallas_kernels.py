@@ -236,6 +236,104 @@ def colmax_pallas(rows: jax.Array, cols: jax.Array, bias: jax.Array,
     return best[:r, 0], idx[:r, 0]
 
 
+def _segsum_scan_kernel(prev_dest_ref, vals_ref, dest_ref, out_ref,
+                        carry_ref):
+    """One (m_pad, T) tile of the sorted-segment inclusive scan.
+
+    Grid is sequential over tiles; `carry_ref` (VMEM (m_pad, 1)) holds the
+    running sum of the segment that crosses the tile boundary, and
+    `prev_dest_ref` (SMEM, per-tile scalar) holds the LAST destination id
+    of the previous tile so the carry can be applied with a plain
+    broadcast compare — no scalar extraction from VMEM anywhere."""
+    i = pl.program_id(0)
+    t = vals_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    x = vals_ref[:]                                   # (m_pad, T) f32
+    dest = dest_ref[:]                                # (1, T) int32
+    # intra-tile inclusive segmented scan: log2(T) shift + masked-add
+    # passes, entirely in VMEM/registers (the XLA form of this loop costs
+    # a full HBM pass per shift — ceil(log2(E)) * 2 * E * m * 4 bytes)
+    s = 1
+    while s < t:
+        same = dest[:, s:] == dest[:, :-s]            # (1, T-s)
+        shifted = jnp.pad(x[:, :-s], ((0, 0), (s, 0)))
+        mask = jnp.pad(same, ((0, 0), (s, 0)), constant_values=False)
+        x = x + jnp.where(mask, shifted, 0.0)
+        s *= 2
+    # cross-tile carry: lanes still in the previous tile's last segment
+    cont = dest == prev_dest_ref[0, 0]                # (1, T)
+    x = x + jnp.where(cont, carry_ref[:], 0.0)
+    carry_ref[:] = x[:, t - 1:t]
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def segsum_sorted_scan_pallas(vals_t: jax.Array, dest: jax.Array,
+                              ends: jax.Array, *, tile: int = 2048,
+                              interpret: bool = False) -> jax.Array:
+    """Exact segment sum of rows grouped by SORTED destination ids, as ONE
+    streaming Pallas pass (the TPU route past both pathological XLA
+    lowerings: scatter-add and the 19-pass whole-array segmented scan —
+    see cluster.spectral._segment_sum_sorted_scan, which this replaces on
+    TPU for the matfree LOBPCG transpose matvec).
+
+    vals_t: (m, E) f32 — entry values, TRANSPOSED so the long entry axis
+        rides the 128-lane dimension (m ~ a LOBPCG block width of 12-36
+        pads to sublanes, not to 128 lanes);
+    dest:   (E,) int32 ascending destination ids (padding uses -1);
+    ends:   (N,) int32 cumulative per-destination counts
+        (_sorted_transpose_layout).
+
+    Returns (N, m) f32: per-destination sums, 0 for empty destinations.
+    Exactness: every partial is a plain pairwise ADD of entries (no
+    cumsum-difference anywhere), so the quirk-mode affinity's 1e6 dynamic
+    range loses nothing. Association differs from the whole-array XLA
+    scan only for segments that CROSS a tile boundary (tree within each
+    tile + sequential carry across tiles) — a last-ulp reordering of the
+    same sums, bounded like any blocked reduction.
+    Traffic: one read + one write of the (m, E) entries (vs 19 full
+    read+write passes), then one (N,)-gather of the segment tails."""
+    m, e = vals_t.shape
+    n = ends.shape[0]
+    m_pad = _round_up(m, 8)
+    e_pad = _round_up(e, tile)
+    vals_p = jnp.pad(vals_t, ((0, m_pad - m), (0, e_pad - e)))
+    dest_p = jnp.pad(dest.astype(jnp.int32), (0, e_pad - e),
+                     constant_values=-1).reshape(1, e_pad)
+    # last dest of the PREVIOUS tile (tile 0 gets -2: matches nothing)
+    n_tiles = e_pad // tile
+    prev_dest = jnp.concatenate([
+        jnp.full((1,), -2, jnp.int32),
+        dest_p[0, tile - 1::tile][:n_tiles - 1]]).reshape(n_tiles, 1)
+
+    scanned = pl.pallas_call(
+        _segsum_scan_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_pad, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_pad, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, e_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+        interpret=interpret,
+    )(prev_dest, vals_p, dest_p)
+
+    counts_pos = ends > jnp.concatenate(
+        [jnp.zeros((1,), ends.dtype), ends[:-1]])
+    last = scanned[:m, jnp.clip(ends - 1, 0, e - 1)]   # (m, N)
+    return jnp.where(counts_pos[None, :], last, 0.0).T
+
+
 @functools.partial(jax.jit,
                    static_argnames=("row_block", "col_block", "bf16", "interpret"))
 def mean_shift_step_pallas(new_x: jax.Array, x: jax.Array,

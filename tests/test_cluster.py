@@ -214,6 +214,15 @@ def test_matfree_transpose_modes_agree(rng):
         jnp.asarray(vals), jnp.asarray(dest_s), n, jnp.asarray(ends)))
     np.testing.assert_allclose(atv_scan, atv_ref, rtol=2e-4, atol=1e-5)
 
+    # the fused one-pass Pallas form of the same reduction (interpret
+    # mode off-TPU), on the identical quirk-range fixture
+    from sednet_tpu.ops.pallas_kernels import segsum_sorted_scan_pallas
+
+    atv_pl = np.asarray(segsum_sorted_scan_pallas(
+        jnp.asarray(vals.T), jnp.asarray(dest_s), jnp.asarray(ends),
+        interpret=True))
+    np.testing.assert_allclose(atv_pl, atv_ref, rtol=2e-4, atol=1e-5)
+
     # Eigvec-LEVEL cross-mode agreement is fundamentally not a valid
     # invariant here (measured, round 4): the reference's farthest-
     # neighbour quirk affinity has extremely LOCALIZED top eigenvectors
@@ -239,7 +248,7 @@ def test_matfree_transpose_modes_agree(rng):
     oh /= np.linalg.norm(oh, axis=1, keepdims=True)
     emb0 = jnp.asarray(oh.astype(np.float32))
     outs = {}
-    for mode in ("scatter", "sorted", "scan"):
+    for mode in ("scatter", "sorted", "scan", "pallas"):
         e = hpnet_enrich(emb0, xyz2, nrm2, jax.random.PRNGKey(2), knn=12,
                          eig_k=4, transpose_mode=mode)
         res = guard_mean_shift(jax.random.PRNGKey(3), e, num_samples=256,
