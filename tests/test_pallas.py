@@ -215,3 +215,29 @@ def test_segsum_sorted_scan_pallas_matches_scatter(rng, tile):
     np.testing.assert_allclose(got, ref.astype(np.float32),
                                rtol=2e-4, atol=1e-5)
     assert np.all(got[counts == 0] == 0.0)
+
+
+def test_segsum_sorted_scan_pallas_vmap(rng):
+    """The mesh/batched enrich path vmaps the kernel — the sequential
+    carry must reset per batch element (program_id remapping under the
+    pallas batching rule)."""
+    import functools
+
+    from sednet_tpu.ops.pallas_kernels import segsum_sorted_scan_pallas
+
+    bsz, n, m, e = 3, 50, 5, 400
+    dest = np.stack([np.sort(rng.randint(0, n, size=e)) for _ in range(bsz)]
+                    ).astype(np.int32)
+    vals = rng.randn(bsz, e, m).astype(np.float32)
+    ends = np.stack([np.cumsum(np.bincount(d, minlength=n))
+                     for d in dest]).astype(np.int32)
+    f = functools.partial(segsum_sorted_scan_pallas, tile=128,
+                          interpret=True)
+    out = np.asarray(jax.vmap(f)(
+        jnp.asarray(vals.transpose(0, 2, 1)), jnp.asarray(dest),
+        jnp.asarray(ends)))
+    for b in range(bsz):
+        ref = np.zeros((n, m), np.float64)
+        np.add.at(ref, dest[b], vals[b])
+        np.testing.assert_allclose(out[b], ref.astype(np.float32),
+                                   rtol=1e-4, atol=1e-5)
