@@ -242,9 +242,12 @@ def _segsum_scan_kernel(prev_dest_ref, vals_ref, dest_ref, out_ref,
 
     Grid is sequential over tiles; `carry_ref` (VMEM (m_pad, 1)) holds the
     running sum of the segment that crosses the tile boundary, and
-    `prev_dest_ref` (SMEM, per-tile scalar) holds the LAST destination id
-    of the previous tile so the carry can be applied with a plain
-    broadcast compare — no scalar extraction from VMEM anywhere."""
+    `prev_dest_ref` (SMEM, the WHOLE (n_tiles, 1) array — Mosaic rejects
+    sub-array SMEM blocks whose dims neither match the array nor are
+    (8, 128)-divisible, so every step sees the full table and indexes it
+    with program_id) holds the LAST destination id of the previous tile
+    so the carry can be applied with a plain broadcast compare — no
+    scalar extraction from VMEM anywhere."""
     i = pl.program_id(0)
     t = vals_ref.shape[1]
 
@@ -256,16 +259,21 @@ def _segsum_scan_kernel(prev_dest_ref, vals_ref, dest_ref, out_ref,
     dest = dest_ref[:]                                # (1, T) int32
     # intra-tile inclusive segmented scan: log2(T) shift + masked-add
     # passes, entirely in VMEM/registers (the XLA form of this loop costs
-    # a full HBM pass per shift — ceil(log2(E)) * 2 * E * m * 4 bytes)
+    # a full HBM pass per shift — ceil(log2(E)) * 2 * E * m * 4 bytes).
+    # Shifts are LANE ROTATES (pltpu.roll) with an iota guard against the
+    # wrap — jnp.pad of a sub-tile vector is an "Invalid vector register
+    # cast" in this Mosaic build (round-4 finding; pads only legalize at
+    # tile-aligned sizes, rolls always do).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
     s = 1
     while s < t:
-        same = dest[:, s:] == dest[:, :-s]            # (1, T-s)
-        shifted = jnp.pad(x[:, :-s], ((0, 0), (s, 0)))
-        mask = jnp.pad(same, ((0, 0), (s, 0)), constant_values=False)
-        x = x + jnp.where(mask, shifted, 0.0)
+        x_sh = pltpu.roll(x, s, 1)                    # x_sh[:, l] = x[:, l-s]
+        d_sh = pltpu.roll(dest, s, 1)
+        ok = (lane >= s) & (dest == d_sh)             # same segment, no wrap
+        x = x + jnp.where(ok, x_sh, 0.0)
         s *= 2
     # cross-tile carry: lanes still in the previous tile's last segment
-    cont = dest == prev_dest_ref[0, 0]                # (1, T)
+    cont = dest == prev_dest_ref[i, 0]                # (1, T)
     x = x + jnp.where(cont, carry_ref[:], 0.0)
     carry_ref[:] = x[:, t - 1:t]
     out_ref[:] = x
@@ -314,7 +322,7 @@ def segsum_sorted_scan_pallas(vals_t: jax.Array, dest: jax.Array,
         _segsum_scan_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((m_pad, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
