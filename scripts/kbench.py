@@ -59,10 +59,17 @@ def main():
     p.add_argument("--what", default="all")
     p.add_argument("--json", default=None,
                    help="append records to this JSONL file")
-    p.add_argument("--spectral-modes", default="pallas,scan",
-                   help="comma list of matfree transpose modes to time; "
-                        "scatter/sorted are 100-500x slower than dense at "
-                        "this N (round-3 measurement) and opt-in only")
+    p.add_argument("--n", type=int, default=10000,
+                   help="point count (spectral section: use 32768+ to "
+                        "measure the beyond-default-cap regime)")
+    p.add_argument("--spectral-modes", default="scatter,pallas,scan",
+                   help="comma list of matfree transpose modes to time. "
+                        "Round-4 finding: JITTED, all modes are within "
+                        "~1.5x of each other (gather/scatter issue-bound "
+                        "~30 ms per direction at N=10k — "
+                        "scripts/probe_spectral_gather.py); round-3's "
+                        "'scatter 478x slower' was the EAGER relay-"
+                        "dispatch artifact")
     p.add_argument("--spectral-reps", type=int, default=3)
     args = p.parse_args()
 
@@ -74,7 +81,7 @@ def main():
 
     rng = np.random.default_rng(0)
     print("devices:", jax.devices(), flush=True)
-    n = 10000
+    n = args.n
 
     if args.json:
         JSON_PATH = args.json
@@ -174,9 +181,9 @@ def main():
                  "ms/batch8")
 
     if args.what in ("all", "spectral"):
-        # matfree transpose-mode A/B vs the dense build+solve (the N>16k
-        # escape hatch; scatter measured 478x slower than dense at
-        # N=2048 round-3 — the sorted layout is the candidate fix)
+        # matfree transpose-mode A/B vs the dense build+solve (the
+        # beyond-dense-cap escape hatch; pass --n 32768 to time the
+        # regime the cap decision actually gates)
         from sednet_tpu.cluster.spectral import (normal_affinity_topk,
                                                  spectral_eigvecs,
                                                  spectral_eigvecs_matfree)
