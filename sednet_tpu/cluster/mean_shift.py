@@ -111,17 +111,54 @@ def _kernel(dist, b, kernel_type: str):
     return jax.nn.relu(0.75 * (1.0 - dist / (b * b)))
 
 
+# Converged-early exit tolerance for the shift loop. The reference runs a
+# fixed 50 iterations (src/mean_shift.py:45); measured on noisy synthetic
+# embeddings the max per-point movement decays below 1e-6 by iteration
+# ~20, so the back half of the loop moves points by less than the MXU's
+# own bf16 input rounding (~6.5e-3 per op, see ROADMAP bf16 root-cause) —
+# the final positions differ from the fixed-trip result by O(tol), far
+# under the NMS bandwidth scale (>=0.003). tol=0.0 restores the exact
+# fixed-trip loop.
+DEFAULT_MS_TOL = 1e-6
+
+
+def _iterate_until(step_fn, x, iterations: int, tol: float):
+    """Run `step_fn` up to `iterations` times, stopping early once the max
+    per-coordinate movement drops to `tol` (0 disables the early exit)."""
+    if tol <= 0.0:
+        return lax.fori_loop(0, iterations, lambda _, cur: step_fn(cur), x)
+
+    def cond(state):
+        i, _, delta = state
+        return jnp.logical_and(i < iterations, delta > tol)
+
+    def body(state):
+        i, cur, _ = state
+        nxt = step_fn(cur)
+        return i + 1, nxt, jnp.max(jnp.abs(nxt - cur))
+
+    _, out, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), x, jnp.float32(jnp.inf)))
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "kernel_type", "backend", "bf16",
-                     "interpret"))
+                     "interpret", "tol"))
 def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
                        kernel_type: str = "gaussian",
                        backend: str = "auto", bf16: bool = False,
-                       interpret: bool = False) -> jax.Array:
-    """Fixed-trip mean-shift updates (reference: src/mean_shift.py:45-79).
+                       interpret: bool = False,
+                       tol: float = 0.0) -> jax.Array:
+    """Mean-shift updates (reference: src/mean_shift.py:45-79).
 
     x: (N, E), assumed unit-norm. Returns shifted (N, E).
+
+    tol=0.0 (default) runs the reference's exact fixed-trip loop and stays
+    reverse-mode differentiable (parsenet_e2e trains through it); tol>0
+    switches to a converged-early `lax.while_loop` (eval-only: while_loop
+    has no reverse-mode rule).
 
     backend "pallas" uses the fused flash-style step (gaussian kernel on TPU:
     no N x N matrix in HBM, see sednet_tpu.ops.pallas_kernels); "xla" is the
@@ -134,13 +171,13 @@ def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
     if backend == "pallas":
         from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas
 
-        def body(_, new_x):
+        def step(new_x):
             return mean_shift_step_pallas(new_x, x, bandwidth, bf16=bf16,
                                           interpret=interpret)
 
-        return lax.fori_loop(0, iterations, body, x)
+        return _iterate_until(step, x, iterations, tol)
 
-    def body(_, new_x):
+    def step(new_x):
         dist = 2.0 - 2.0 * _dotT(new_x, x)
         k = _kernel(dist, bandwidth, kernel_type)
         d = 1.0 / jnp.sum(k, axis=1, keepdims=True)
@@ -149,7 +186,7 @@ def mean_shift_iterate(x: jax.Array, bandwidth: jax.Array, iterations: int = 50,
         return new_x / jnp.clip(jnp.linalg.norm(new_x, axis=1, keepdims=True),
                                 min=1e-12)
 
-    return lax.fori_loop(0, iterations, body, x)
+    return _iterate_until(step, x, iterations, tol)
 
 
 def _round_up(v: int, m: int) -> int:
@@ -246,26 +283,30 @@ def nms(centers: jax.Array, x: jax.Array, b: jax.Array):
 
 @functools.partial(
     jax.jit, static_argnames=("num_samples", "iterations", "kernel_type",
-                              "bf16"))
+                              "bf16", "tol"))
 def mean_shift(key, x, *, num_samples=10000, quantile=0.015, iterations=50,
                kernel_type: str = "gaussian", bandwidth=None,
-               bf16: bool = False) -> MeanShiftResult:
-    """One full clustering pass (reference: src/mean_shift.py:19-43)."""
+               bf16: bool = False,
+               tol: float = 0.0) -> MeanShiftResult:
+    """One full clustering pass (reference: src/mean_shift.py:19-43).
+
+    Differentiable w.r.t. x by default (tol=0.0, fixed-trip shift loop);
+    eval-only callers pass tol>0 for the converged-early while_loop."""
     q = jnp.asarray(quantile, jnp.float32)
     if bandwidth is None:
         bandwidth = lax.stop_gradient(
             jnp.clip(compute_bandwidth(key, x, num_samples, q), min=0.003))
     shifted = mean_shift_iterate(x, bandwidth, iterations, kernel_type,
-                                 bf16=bf16)
+                                 bf16=bf16, tol=tol)
     labels, center_mask, num = nms(lax.stop_gradient(shifted),
                                    lax.stop_gradient(x), bandwidth)
     return MeanShiftResult(shifted, labels, center_mask, num, bandwidth, q)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_samples", "iterations", "bf16"))
+    jax.jit, static_argnames=("num_samples", "iterations", "bf16", "tol"))
 def _batched_shift(keys, x, quantile, num_samples: int, iterations: int,
-                   bf16: bool = False):
+                   bf16: bool = False, tol: float = DEFAULT_MS_TOL):
     # unrolled, not vmapped: under vmap the bandwidth path's lax.cond
     # degrades to a both-branches select and the Pallas top-k falls back to
     # its (slower) batching rule; the unrolled calls share one compiled
@@ -275,15 +316,19 @@ def _batched_shift(keys, x, quantile, num_samples: int, iterations: int,
         for i in range(x.shape[0])])
     from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas_batched
 
-    def body(_, new_x):
+    def step(new_x):
         return mean_shift_step_pallas_batched(new_x, x, bw, bf16=bf16)
 
-    return lax.fori_loop(0, iterations, body, x), bw
+    # batch-global early exit: runs until EVERY shape's max movement is
+    # below tol (a per-shape exit would need a ragged loop; the extra
+    # converged-shape steps are no-ops within tol)
+    return _iterate_until(step, x, iterations, tol), bw
 
 
 def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
                   iterations=50, max_clusters: int = 49,
-                  retry_factor: float = 1.2, bf16: bool = False):
+                  retry_factor: float = 1.2, bf16: bool = False,
+                  tol: float = DEFAULT_MS_TOL):
     """Cluster a batch of shapes: one batched Pallas launch for the shift
     iterations (the throughput path, SURVEY §2.9), per-shape NMS, and an
     individual guarded retry only for shapes that exceed max_clusters.
@@ -299,7 +344,7 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
     keys = jax.random.split(key, b)
     shifted, bw = _batched_shift(keys, x, jnp.float32(quantile),
                                  min(num_samples, x.shape[1]), iterations,
-                                 bf16=bf16)
+                                 bf16=bf16, tol=tol)
     # dispatch all NMS programs before any host sync so they pipeline
     results = [nms(shifted[i], x[i], bw[i]) for i in range(b)]
     labels = [r[0] for r in results]
@@ -311,7 +356,7 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
             keys[i], x[i], num_samples=num_samples,
             quantile=quantile * retry_factor, iterations=iterations,
             max_clusters=max_clusters, retry_factor=retry_factor,
-            bf16=bf16)
+            bf16=bf16, tol=tol)
         labels[i] = res.labels
         nums[i] = int(res.num_clusters)
         capped[i] = bool(res.capped)
@@ -323,12 +368,13 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
 @functools.partial(
     jax.jit,
     static_argnames=("num_samples", "iterations", "kernel_type",
-                     "max_clusters", "retry_factor", "bf16"))
+                     "max_clusters", "retry_factor", "bf16", "tol"))
 def guard_mean_shift(key, x, *, num_samples=10000, quantile=0.015,
                      iterations=50, kernel_type: str = "gaussian",
                      max_clusters: int = 49,
                      retry_factor: float = 1.2,
-                     bf16: bool = False) -> MeanShiftResult:
+                     bf16: bool = False,
+                     tol: float = DEFAULT_MS_TOL) -> MeanShiftResult:
     """Retry with inflated quantile until <= max_clusters clusters
     (reference: generate_predictions_aug.py:25-35 uses x1.2; the library
     variant src/mean_shift.py:81-96 uses x2 — pass retry_factor=2.0)."""
@@ -336,7 +382,7 @@ def guard_mean_shift(key, x, *, num_samples=10000, quantile=0.015,
     def attempt(q, k):
         return mean_shift(k, x, num_samples=num_samples, quantile=q,
                           iterations=iterations, kernel_type=kernel_type,
-                          bf16=bf16)
+                          bf16=bf16, tol=tol)
 
     def cond(state):
         res, _, tries = state

@@ -230,9 +230,10 @@ def _hpnet_enrich_batch_dense(emb, xyz, normals, keys,
     return jax.vmap(f)(emb, xyz, normals, keys)
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "iterations"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_samples", "iterations", "tol"))
 def _cluster_shapes_xla(keys, emb, quantile, num_samples: int,
-                        iterations: int):
+                        iterations: int, tol: float = 1e-6):
     """Fixed-iteration mean-shift vmapped across shapes (pure XLA — runs
     sharded over a device mesh; guard retries for the rare >max_clusters
     shapes happen per shape on the caller side)."""
@@ -240,7 +241,8 @@ def _cluster_shapes_xla(keys, emb, quantile, num_samples: int,
 
     def one(k, e):
         res = mean_shift(k, e, num_samples=num_samples, quantile=quantile,
-                         iterations=iterations, kernel_type="gaussian")
+                         iterations=iterations, kernel_type="gaussian",
+                         tol=tol)
         return res.labels, res.num_clusters
 
     return jax.vmap(one)(keys, emb)
@@ -372,7 +374,7 @@ def predict_shapes(
         keys_c = jax.random.split(ckey, b)
         labels_all, nums_all = _cluster_shapes_xla(
             keys_c, emb_n, jnp.float32(cfg.ms_quantile), ns,
-            cfg.ms_iterations)
+            cfg.ms_iterations, cfg.ms_tol)
         # np.array (copy): asarray views of jax arrays are read-only and
         # the retry loop writes rows in place
         labels_np = np.array(labels_all)
@@ -382,7 +384,7 @@ def predict_shapes(
                 keys_c[i], emb_n[i], num_samples=ns,
                 quantile=cfg.ms_quantile * cfg.ms_retry_factor,
                 iterations=cfg.ms_iterations, max_clusters=cap,
-                retry_factor=cfg.ms_retry_factor)
+                retry_factor=cfg.ms_retry_factor, tol=cfg.ms_tol)
             labels_np[i] = np.asarray(res.labels)
             nums_np[i] = int(res.num_clusters)
             guard_flags["capped"][i] = bool(res.capped)
@@ -391,7 +393,8 @@ def predict_shapes(
         labels_all, nums_all, guard_flags = cluster_batch(
             ckey, emb_n, num_samples=ns, quantile=cfg.ms_quantile,
             iterations=cfg.ms_iterations, max_clusters=cap,
-            retry_factor=cfg.ms_retry_factor, bf16=cfg.ms_bf16)
+            retry_factor=cfg.ms_retry_factor, bf16=cfg.ms_bf16,
+            tol=cfg.ms_tol)
         labels_np = np.asarray(labels_all)
         nums_np = np.asarray(nums_all)
     else:
@@ -399,7 +402,8 @@ def predict_shapes(
         rs = [guard_mean_shift(
             jax.random.fold_in(key, 1000 + i), emb_n[i], num_samples=ns,
             quantile=cfg.ms_quantile, iterations=cfg.ms_iterations,
-            max_clusters=cap, retry_factor=cfg.ms_retry_factor)
+            max_clusters=cap, retry_factor=cfg.ms_retry_factor,
+            tol=cfg.ms_tol)
             for i in range(b)]
         labels_np = np.asarray(jnp.stack([r.labels for r in rs]))
         nums_np = np.asarray(jnp.stack([r.num_clusters for r in rs]))

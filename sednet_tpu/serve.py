@@ -133,7 +133,7 @@ class BundleServer:
                         iterations=cfg.ms_iterations,
                         max_clusters=cfg.ms_max_clusters - 1,
                         retry_factor=cfg.ms_retry_factor,
-                        bf16=cfg.ms_bf16)
+                        bf16=cfg.ms_bf16, tol=cfg.ms_tol)
                     results[i]["instances"] = np.asarray(
                         res.labels).tolist()
                     results[i]["num_instances"] = int(res.num_clusters)

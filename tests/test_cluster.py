@@ -452,3 +452,29 @@ def test_spectral_eigvecs_bf16_affinity_path(rng):
     gram = v.T @ v32
     s = np.linalg.svd(gram, compute_uv=False)
     assert s.min() > 0.9
+
+
+def test_mean_shift_early_exit_matches_fixed_trip(rng):
+    # eval-path converged-early exit (cluster/mean_shift._iterate_until):
+    # identical labels and O(tol) positions vs the reference's fixed-trip
+    # 50-iteration loop on a realistic noisy fixture
+    x, gt = _sphere_clusters(rng, 4, 60, dim=12, noise=0.15)
+    key = jax.random.PRNGKey(3)
+    full = mean_shift(key, x, num_samples=240, quantile=0.05,
+                      iterations=50, tol=0.0)
+    early = mean_shift(key, x, num_samples=240, quantile=0.05,
+                       iterations=50, tol=1e-6)
+    np.testing.assert_array_equal(np.asarray(full.labels),
+                                  np.asarray(early.labels))
+    assert float(jnp.max(jnp.abs(full.shifted - early.shifted))) < 1e-4
+    assert int(full.num_clusters) == int(early.num_clusters)
+
+
+def test_guard_mean_shift_early_exit_label_parity(rng):
+    x, gt = _sphere_clusters(rng, 3, 50, dim=8, noise=0.1)
+    key = jax.random.PRNGKey(11)
+    a = guard_mean_shift(key, x, num_samples=150, quantile=0.05,
+                         iterations=50, tol=0.0)
+    b = guard_mean_shift(key, x, num_samples=150, quantile=0.05,
+                         iterations=50)  # default tol=1e-6
+    np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
