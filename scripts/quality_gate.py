@@ -22,10 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(REPO, "checkpoints", "bench_10k.npz")
 
-# 3-seed stability run (train_bench_ckpt.py --steps 400 --seeds 0,1,2,
-# round 3): inst_iou [0.7624, 0.7586, 0.6802], type_iou [0.758, 0.796,
-# 0.896], recall [0.969, 1.0, 1.0]. Floors = min over seeds - 0.05.
-FLOORS = {"inst_iou": 0.63, "type_iou": 0.70, "inst_recall": 0.91}
+# The committed checkpoint is the 2000-step seed-0 run (round 4,
+# train_bench_ckpt.py --steps 2000): inst_iou 0.8503, type_iou 0.9333,
+# recall 1.0 through the reference-default eval path. The gate measures
+# THIS artifact on a fixed held-out set with fixed keys, so the floors
+# sit a tight 0.05 under its measured scores (the round-3 floors were
+# min-over-3-seeds - 0.05, which tolerated a 0.13 drop from the best
+# seed — VERDICT r3 weak #3). The 400-step round-3 spread was
+# undertraining: at 2000 steps seed 0 moved 0.762 -> 0.850.
+FLOORS = {"inst_iou": 0.80, "type_iou": 0.88, "inst_recall": 0.95}
 
 
 def main():
