@@ -30,7 +30,11 @@ import time
 
 import numpy as np
 
-BASELINE_SHAPES_PER_SEC = 2.371  # round-1 measurement on one v5e chip
+# The recorded round-1 headline (BENCH_r01.json "value": 2.9356, one v5e
+# chip). Earlier rounds divided by 2.371 (a pre-record builder-side run),
+# overstating vs_baseline ~24% against the repo's own committed round-1
+# number — fixed round 5 (VERDICT r4 weak #6).
+BASELINE_SHAPES_PER_SEC = 2.9356
 
 REFERENCE_CPU = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "REFERENCE_CPU.json")

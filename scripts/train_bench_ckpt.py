@@ -146,6 +146,9 @@ def main():
     p.add_argument("--workdir", default="/tmp/sednet_bench_ckpt")
     p.add_argument("--save", action="store_true",
                    help="write checkpoints/bench_10k.npz from the best seed")
+    p.add_argument("--stability-out", default="",
+                   help="write the cross-seed STABILITY table to this path "
+                        "(scripts/quality_gate.py --stability reads it)")
     p.add_argument("--oracle", action="store_true",
                    help="print metric-identity and clustering-ceiling rows "
                         "for the eval fixtures (no training)")
@@ -178,10 +181,16 @@ def main():
             best = (rec, ckpts)
 
     ious = [r["inst_iou"] for r in results]
-    table = {"seeds": seeds, "inst_iou": ious,
+    table = {"seeds": seeds, "steps": args.steps, "inst_iou": ious,
+             "type_iou": [r["type_iou"] for r in results],
+             "inst_recall": [r["inst_recall"] for r in results],
              "spread": round(max(ious) - min(ious), 4),
              "mean": round(float(sum(ious) / len(ious)), 4)}
     print("STABILITY " + json.dumps(table), flush=True)
+    if args.stability_out:
+        with open(args.stability_out, "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"WROTE {args.stability_out}", flush=True)
 
     if args.save and best is not None:
         from sednet_tpu.train import save_params_npz

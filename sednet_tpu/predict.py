@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sednet_tpu.cluster import cluster_batch, guard_mean_shift, hpnet_process
+from sednet_tpu.cluster.mean_shift import DEFAULT_MS_TOL
 from sednet_tpu.cluster.spectral import (compute_entropy, hpnet_enrich,
                                          normal_affinity_topk,
                                          spectral_eigvecs)
@@ -233,10 +234,12 @@ def _hpnet_enrich_batch_dense(emb, xyz, normals, keys,
 @functools.partial(jax.jit,
                    static_argnames=("num_samples", "iterations", "tol"))
 def _cluster_shapes_xla(keys, emb, quantile, num_samples: int,
-                        iterations: int, tol: float = 1e-6):
-    """Fixed-iteration mean-shift vmapped across shapes (pure XLA — runs
-    sharded over a device mesh; guard retries for the rare >max_clusters
-    shapes happen per shape on the caller side)."""
+                        iterations: int, tol: float = DEFAULT_MS_TOL):
+    """Mean-shift vmapped across shapes (pure XLA — runs sharded over a
+    device mesh; guard retries for the rare >max_clusters shapes happen per
+    shape on the caller side). tol>0 (the eval default, DEFAULT_MS_TOL)
+    exits the shift loop once converged; tol=0 restores the reference's
+    fixed-trip loop."""
     from sednet_tpu.cluster import mean_shift
 
     def one(k, e):

@@ -470,6 +470,45 @@ def test_mean_shift_early_exit_matches_fixed_trip(rng):
     assert int(full.num_clusters) == int(early.num_clusters)
 
 
+def test_mean_shift_early_exit_pallas_backend_parity(rng):
+    # ADVICE r4: the early-exit while_loop must also hold for the Pallas
+    # step (interpret mode — the same path tests/test_pallas.py pins for
+    # the fixed-trip loop)
+    from sednet_tpu.cluster.mean_shift import mean_shift_iterate, nms
+
+    x, _ = _sphere_clusters(rng, 4, 60, dim=12, noise=0.15)
+    bw = jnp.float32(0.35)
+    full = mean_shift_iterate(x, bw, 50, backend="pallas", interpret=True,
+                              tol=0.0)
+    early = mean_shift_iterate(x, bw, 50, backend="pallas", interpret=True,
+                               tol=1e-6)
+    assert float(jnp.max(jnp.abs(full - early))) < 1e-4
+    lf, _, nf = nms(full, x, bw)
+    le, _, ne = nms(early, x, bw)
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(le))
+    assert int(nf) == int(ne)
+
+
+def test_batched_shift_early_exit_batch_global(rng):
+    # batch-global exit semantics (_batched_shift): the while_loop runs
+    # until EVERY shape converges — a tight shape paired with a noisy one
+    # must still match the fixed-trip positions on both rows
+    from sednet_tpu.cluster.mean_shift import _iterate_until
+    from sednet_tpu.ops.pallas_kernels import mean_shift_step_pallas_batched
+
+    xa, _ = _sphere_clusters(rng, 3, 40, dim=8, noise=0.02)  # converges fast
+    xb, _ = _sphere_clusters(rng, 4, 30, dim=8, noise=0.2)   # converges slow
+    x = jnp.stack([xa, xb])
+    bw = jnp.asarray([0.3, 0.4], jnp.float32)
+
+    def step(new_x):
+        return mean_shift_step_pallas_batched(new_x, x, bw, interpret=True)
+
+    full = _iterate_until(step, x, 50, 0.0)
+    early = _iterate_until(step, x, 50, 1e-6)
+    assert float(jnp.max(jnp.abs(full - early))) < 1e-4
+
+
 def test_guard_mean_shift_early_exit_label_parity(rng):
     x, gt = _sphere_clusters(rng, 3, 50, dim=8, noise=0.1)
     key = jax.random.PRNGKey(11)
