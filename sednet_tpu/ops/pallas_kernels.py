@@ -279,10 +279,57 @@ def _segsum_scan_kernel(prev_dest_ref, vals_ref, dest_ref, out_ref,
     out_ref[:] = x
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _segsum_mxu_kernel(prev_dest_ref, vals_ref, dest_ref, dest_col_ref,
+                       out_ref, carry_ref):
+    """One (m_pad, T) tile of the sorted-segment sum via ONE MXU matmul.
+
+    Written to attack the round-4 profile's "48 ms at E=500k" figure for
+    the roll-scan kernel above (log2(T) cross-tile LANE ROTATES per tile
+    looked like the cost). The amortized A/B (50 kernel calls chained in
+    one jit, idle host) refuted that read: roll is 13.3 ms/call and this
+    matmul variant 14.7 ms/call at E=500k — the 48 ms was ~35 ms of
+    per-dispatch relay overhead on top of a ~13 ms kernel, and the rolls
+    are NOT the bottleneck. Kept as a tested alternative ("mxu" method)
+    and a recorded negative result; "roll" stays the default. The idea:
+    replace the scan with a one-hot equality matmul:
+        M[c, r] = (dest[c] == dest[r])        (T, T), symmetric
+        x = vals @ M                          (m_pad, T)
+    so EVERY member of a segment receives the full tile-local segment sum
+    (not an inclusive prefix). That is sufficient: the caller only reads
+    segment-FINAL positions (via `ends`), where tile-local-sum + carry is
+    exactly the inclusive value the scan kernel produced. Multiplications
+    are by exactly 0/1 (exact at any MXU precision decomposition) and
+    accumulation is f32, so the result is the same pairwise-exact sum
+    class as the scan, reassociated.
+
+    The carry logic is IDENTICAL to _segsum_scan_kernel: lanes whose dest
+    matches the previous tile's last dest get the running carry added, and
+    the next carry is the last lane's value (tile-local sum of the
+    boundary segment + inherited carry — correct across any number of
+    spanned tiles)."""
+    i = pl.program_id(0)
+    t = vals_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    dest = dest_ref[:]                                # (1, T) int32
+    m = (dest_col_ref[:] == dest).astype(jnp.float32)  # (T, T) one-hot eq
+    x = lax.dot_general(vals_ref[:], m, (((1,), (0,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (m_pad, T)
+    cont = dest == prev_dest_ref[i, 0]                # (1, T)
+    x = x + jnp.where(cont, carry_ref[:], 0.0)
+    carry_ref[:] = x[:, t - 1:t]
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "method"))
 def segsum_sorted_scan_pallas(vals_t: jax.Array, dest: jax.Array,
                               ends: jax.Array, *, tile: int = 2048,
-                              interpret: bool = False) -> jax.Array:
+                              interpret: bool = False,
+                              method: str = "roll") -> jax.Array:
     """Exact segment sum of rows grouped by SORTED destination ids, as ONE
     streaming Pallas pass (the TPU route past both pathological XLA
     lowerings: scatter-add and the 19-pass whole-array segmented scan —
@@ -304,10 +351,22 @@ def segsum_sorted_scan_pallas(vals_t: jax.Array, dest: jax.Array,
     tile + sequential carry across tiles) — a last-ulp reordering of the
     same sums, bounded like any blocked reduction.
     Traffic: one read + one write of the (m, E) entries (vs 19 full
-    read+write passes), then one (N,)-gather of the segment tails."""
+    read+write passes), then one (N,)-gather of the segment tails.
+
+    method selects the intra-tile reduction: "roll" (default) is the
+    log2(T) lane-rotate inclusive scan; "mxu" does ONE one-hot equality
+    matmul per tile on the MXU (_segsum_mxu_kernel). Amortized A/B at
+    E=500k: roll 13.3 ms, mxu 14.7 ms — the matmul variant is exact but
+    no faster, so roll stays the default (see _segsum_mxu_kernel)."""
+    if method not in ("mxu", "roll"):
+        raise ValueError(f"unknown segsum method {method!r}")
     m, e = vals_t.shape
     n = ends.shape[0]
     m_pad = _round_up(m, 8)
+    if method == "mxu":
+        # the (T, T) one-hot matmul operand caps the tile: 1024^2 f32 =
+        # 4 MB of VMEM; 2048 would need 16 MB
+        tile = min(tile, 1024)
     e_pad = _round_up(e, tile)
     vals_p = jnp.pad(vals_t, ((0, m_pad - m), (0, e_pad - e)))
     dest_p = jnp.pad(dest.astype(jnp.int32), (0, e_pad - e),
@@ -318,23 +377,44 @@ def segsum_sorted_scan_pallas(vals_t: jax.Array, dest: jax.Array,
         jnp.full((1,), -2, jnp.int32),
         dest_p[0, tile - 1::tile][:n_tiles - 1]]).reshape(n_tiles, 1)
 
-    scanned = pl.pallas_call(
-        _segsum_scan_kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((m_pad, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m_pad, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, e_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
-        interpret=interpret,
-    )(prev_dest, vals_p, dest_p)
+    if method == "mxu":
+        scanned = pl.pallas_call(
+            _segsum_mxu_kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((n_tiles, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((m_pad, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, e_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+            interpret=interpret,
+        )(prev_dest, vals_p, dest_p, dest_p.reshape(e_pad, 1))
+    else:
+        scanned = pl.pallas_call(
+            _segsum_scan_kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((n_tiles, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((m_pad, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, e_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((m_pad, 1), jnp.float32)],
+            interpret=interpret,
+        )(prev_dest, vals_p, dest_p)
 
     counts_pos = ends > jnp.concatenate(
         [jnp.zeros((1,), ends.dtype), ends[:-1]])

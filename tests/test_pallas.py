@@ -187,12 +187,14 @@ def test_colmax_pallas_all_masked_rows(rng):
 
 
 @pytest.mark.parametrize("tile", [128, 512])
-def test_segsum_sorted_scan_pallas_matches_scatter(rng, tile):
+@pytest.mark.parametrize("method", ["mxu", "roll"])
+def test_segsum_sorted_scan_pallas_matches_scatter(rng, tile, method):
     """The one-pass Pallas segmented scan must reproduce the scatter
     segment sums — including segments that SPAN multiple tiles (the
     quirk-mode affinity's in-degree skew makes kilolong segments the
     norm: measured max in-degree 4861 of N=10000) and empty
-    destinations."""
+    destinations. Both intra-tile reductions (one-hot MXU matmul /
+    lane-roll scan) must agree with the scatter reference."""
     from sednet_tpu.ops.pallas_kernels import segsum_sorted_scan_pallas
 
     n, m = 97, 7
@@ -211,7 +213,7 @@ def test_segsum_sorted_scan_pallas_matches_scatter(rng, tile):
     ends = jnp.asarray(np.cumsum(counts).astype(np.int32))
     got = np.asarray(segsum_sorted_scan_pallas(
         jnp.asarray(vals.T), jnp.asarray(dest), ends, tile=tile,
-        interpret=True))
+        interpret=True, method=method))
     np.testing.assert_allclose(got, ref.astype(np.float32),
                                rtol=2e-4, atol=1e-5)
     assert np.all(got[counts == 0] == 0.0)
