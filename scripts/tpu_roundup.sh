@@ -1,43 +1,41 @@
 #!/bin/bash
-# TPU follow-up queue for round 3 (written during the axon relay outage
-# of 2026-08-17/18). Run when the relay is back; each step appends to
-# /tmp/tpu_roundup.log and continues past failures.
+# Round-end measurement ritual (VERDICT r4 next-round #7): one command whose
+# committed outputs ARE the round's record. Runs, in order, on the real TPU:
 #
-#   bash scripts/tpu_roundup.sh
+#   1. bench.py --all            -> BENCH_ALL_r{N}.json   (full perf matrix)
+#   2. perf_gate.py              against that file        (throughput floors)
+#   3. quality_gate.py           (+ --stability if STABILITY.json exists)
+#   4. kbench.py --json          -> KBENCH_r{N}.json      (per-kernel numbers)
+#   5. audit_clustering.py       -> AUDIT_CLUSTER_r{N}.json (exactness + tol A/B)
 #
-# 1. clustering audit (now includes the bf16-vs-f32 label-parity gate)
-# 2. matfree transpose-mode microbench (scatter vs sorted vs dense)
-# 3. full bench matrix (now includes the bf16 fast-path config)
-# 4. serving-artifact execution check (deserialize + run on the chip)
-set -x
+# FAILS LOUDLY: exits nonzero on the first gate/audit failure, so a round
+# cannot end instrument-rich and evidence-poor (round 4 built the perf gate,
+# the fit-metric emission and two major speedups, then never measured them
+# together — VERDICT r4 missing #1).
+#
+#   bash scripts/tpu_roundup.sh <round-number>     e.g. ... 5
+set -e -o pipefail
 cd "$(dirname "$0")/.."
-LOG=/tmp/tpu_roundup.log
-: > "$LOG"
+N="${1:?usage: tpu_roundup.sh <round-number>}"
+export PYTHONPATH="/root/repo:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
 
-PYTHONPATH=/root/repo:/root/.axon_site python scripts/audit_clustering.py \
-    2>&1 | tail -3 | tee -a "$LOG"
+echo "=== 1/5 bench.py --all -> BENCH_ALL_r0${N}.json ==="
+python bench.py --all 2> /tmp/roundup_bench.err | tee "BENCH_ALL_r0${N}.json"
 
-PYTHONPATH=/root/repo:/root/.axon_site python scripts/kbench.py --what spectral \
-    2>&1 | tail -4 | tee -a "$LOG"
-PYTHONPATH=/root/repo:/root/.axon_site python scripts/kbench.py --what ms \
-    2>&1 | tail -4 | tee -a "$LOG"
+echo "=== 2/5 perf_gate ==="
+python scripts/perf_gate.py "BENCH_ALL_r0${N}.json"
 
-PYTHONPATH=/root/repo:/root/.axon_site python bench.py --all 2>&1 | tee /tmp/bench_all.log | grep '^{' | tee -a "$LOG"
+echo "=== 3/5 quality_gate ==="
+python scripts/quality_gate.py
+if [ -f STABILITY.json ]; then
+    python scripts/quality_gate.py --stability
+fi
 
-PYTHONPATH=/root/repo:/root/.axon_site python - 2>&1 <<'EOF' | tail -3 | tee -a "$LOG"
-import tempfile, numpy as np, jax, jax.numpy as jnp
-from sednet_tpu.config import Config
-from sednet_tpu.train import build_model, load_params
-from sednet_tpu.export import export_serving_bundle, load_bundle
-cfg = Config(num_points=10000, knn=64, embed=128)
-ck = load_params("checkpoints/bench_10k.npz")
-d = tempfile.mkdtemp()
-export_serving_bundle(cfg, ck["type"], ck["inst"], d, batch_size=1,
-                      platforms=["tpu"])
-meta, fns = load_bundle(d)
-x = jnp.asarray(np.random.RandomState(0).randn(1, 10000, 6).astype(np.float32))
-out = fns["type_model"](x)
-print("on-TPU artifact run OK:", {k: v.shape for k, v in out.items()})
-EOF
+echo "=== 4/5 kbench -> KBENCH_r0${N}.json ==="
+python scripts/kbench.py --json "KBENCH_r0${N}.json" 2> /tmp/roundup_kbench.err
 
-echo DONE | tee -a "$LOG"
+echo "=== 5/5 clustering audit -> AUDIT_CLUSTER_r0${N}.json ==="
+python scripts/audit_clustering.py 2> /tmp/roundup_audit.err \
+    | tee "AUDIT_CLUSTER_r0${N}.json"
+
+echo "ROUNDUP OK — commit BENCH_ALL_r0${N}.json KBENCH_r0${N}.json AUDIT_CLUSTER_r0${N}.json"
