@@ -356,6 +356,118 @@ def main():
                     BATCH / dt / ref_cpu_rd, 1)
             emit(rec_rd)
 
+        # 4b2. the same reference-default eval as a double-buffered STREAM
+        # of DISTINCT batches (predict_shapes_stream): batch k+1's device
+        # programs are enqueued before batch k's host half (cluster-count
+        # sync, guard retries, Hungarian+chamfer metric) runs, so host
+        # post-processing overlaps device compute. This is the production
+        # eval protocol (run_prediction uses the same double buffering);
+        # the sequential 4b record above isolates single-batch latency.
+        from sednet_tpu.predict import predict_shapes_stream
+
+        K_STREAM = 4
+        rng_s = np.random.RandomState(1)
+        stream_batches = []
+        stream_gt = []
+        for _ in range(K_STREAM):
+            sh = _shapes(rng_s, BATCH)
+            stream_gt.append(sh)
+            stream_batches.append(
+                {k: np.stack([s[k] for s in sh])
+                 for k in ("points", "normals", "labels", "prim")})
+        tta_hp0 = make_tta_type_log_prob(model, hp_cfg, False, False)
+
+        def run_stream():
+            return list(predict_shapes_stream(
+                model, params_type, params_inst, stream_batches, hp_cfg,
+                key=jax.random.PRNGKey(7), tta_fn=tta_hp0, forward_fn=fwd))
+
+        res_s = run_stream()  # warm-up/compile
+        ts_s = []
+        for _ in range(3):
+            t0 = time.time()
+            res_s = run_stream()
+            ts_s.append(time.time() - t0)
+        dt_s = min(ts_s)
+        flat_s = [r for rs in res_s for r in rs]
+        emit({"metric": "reference-default eval (hpnet + usecd, streamed)",
+              "value": round(K_STREAM * BATCH / dt_s, 3),
+              "unit": "shapes/sec/chip",
+              "timing": f"stream of {K_STREAM} distinct batches, "
+                        "double-buffered host/device, best of 3",
+              "inst_iou": round(float(np.mean(
+                  [r["inst_iou"] for r in flat_s])), 4),
+              "type_iou": round(float(np.mean(
+                  [r["type_iou"] for r in flat_s])), 4),
+              "inst_recall": round(float(np.mean(
+                  [r["inst_recall"] for r in flat_s])), 4)})
+
+        # 4b3. the relay-independent DEVICE number for the eval pipeline:
+        # the full serving path — first-layer graph, type + inst
+        # forwards, hpnet dense spectral enrichment (lax.map, one N x N
+        # affinity live at a time), batched mean-shift + per-shape NMS —
+        # chained K dependent times in ONE dispatch, one sync. Excludes
+        # the host half (Hungarian/chamfer metric, rare guard retries);
+        # the gap between this and 4b is tunnel dispatch/sync latency,
+        # which production (locally attached) serving does not pay.
+        from sednet_tpu.cluster.mean_shift import _batched_shift, nms
+        from sednet_tpu.cluster.spectral import hpnet_enrich_dense
+        from sednet_tpu.ops.knn import knn_indices_points_normals as _knn_pn
+
+        K_CHAIN_RD = 3
+
+        @jax.jit
+        def ref_pipeline_chain(pt, pi, xx, key):
+            def body(kidx, carry):
+                # iteration k+1's input depends on k's labels (by a
+                # 0-sized epsilon) so XLA cannot CSE the iterations
+                x_k = xx + carry[..., None] * 1e-30
+                idx1 = _knn_pn(x_k, hp_cfg.knn,
+                               normal_metric_w=hp_cfg.normal_metric_W)
+                out_t = model.apply({"params": pt}, x_k, idx1)
+                out_i = model.apply({"params": pi}, x_k, idx1)
+                kk = jax.random.fold_in(key, kidx)
+                keys_e = jax.vmap(
+                    lambda i: jax.random.fold_in(kk, i))(jnp.arange(BATCH))
+                emb_n = jax.lax.map(
+                    lambda a: hpnet_enrich_dense(
+                        a[0], a[1], a[2], a[3],
+                        normal_smooth_w=hp_cfg.normal_smooth_w,
+                        sigma=hp_cfg.spectral_sigma,
+                        knn=hp_cfg.spectral_knn,
+                        eig_k=hp_cfg.spectral_eigvecs),
+                    (out_i.embedding, x_k[..., :3], x_k[..., 3:6], keys_e))
+                keys_c = jax.random.split(jax.random.fold_in(kk, 1000),
+                                          BATCH)
+                shifted, bw = _batched_shift(
+                    keys_c, emb_n, jnp.float32(hp_cfg.ms_quantile),
+                    min(hp_cfg.ms_num_samples, N_POINTS),
+                    hp_cfg.ms_iterations)
+                labels = jnp.stack([nms(shifted[i], emb_n[i], bw[i])[0]
+                                    for i in range(BATCH)])
+                tp = out_t.type_log_prob.argmax(-1)
+                return (labels.astype(jnp.float32)
+                        + tp.astype(jnp.float32) * 1e-30)
+            return jax.lax.fori_loop(
+                0, K_CHAIN_RD, body,
+                jnp.zeros(xx.shape[:2], jnp.float32))
+
+        _ = np.asarray(ref_pipeline_chain(params_type, params_inst, x,
+                                          jax.random.PRNGKey(7)))
+        ts_c2 = []
+        for _i in range(3):
+            t0 = time.time()
+            _ = np.asarray(ref_pipeline_chain(params_type, params_inst, x,
+                                              jax.random.PRNGKey(8 + _i)))
+            ts_c2.append(time.time() - t0)
+        med_c2 = float(np.median(ts_c2)) / K_CHAIN_RD
+        emit({"metric": "reference-default eval device pipeline "
+                        "(chained, no host metric stage)",
+              "value": round(BATCH / med_c2, 3),
+              "unit": "shapes/sec/chip",
+              "timing": f"{K_CHAIN_RD} dependent pipeline iterations per "
+                        "dispatch, median of 3"})
+
         # 4d. bf16 fast path: mixed-precision model compute + bf16
         # mean-shift step on the SAME trained f32 parameters — the
         # opt-in throughput configuration (config.model_bf16 +

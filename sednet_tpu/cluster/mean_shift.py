@@ -325,21 +325,13 @@ def _batched_shift(keys, x, quantile, num_samples: int, iterations: int,
     return _iterate_until(step, x, iterations, tol), bw
 
 
-def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
-                  iterations=50, max_clusters: int = 49,
-                  retry_factor: float = 1.2, bf16: bool = False,
-                  tol: float = DEFAULT_MS_TOL):
-    """Cluster a batch of shapes: one batched Pallas launch for the shift
-    iterations (the throughput path, SURVEY §2.9), per-shape NMS, and an
-    individual guarded retry only for shapes that exceed max_clusters.
-
-    x: (B, N, E) unit rows. Returns (labels (B, N) int32,
-    num_clusters (B,) int32, guard_flags) — guard_flags is a dict of (B,)
-    bool arrays {"capped", "bw_capped"} flagging shapes whose guarded
-    retry diverged from the reference's unbounded path.
-    TPU-only (uses the Pallas step)."""
-    import numpy as np
-
+def cluster_batch_async(key, x, *, num_samples=10000, quantile=0.015,
+                        iterations=50, bf16: bool = False,
+                        tol: float = DEFAULT_MS_TOL):
+    """Enqueue the device half of cluster_batch — batched Pallas shift +
+    per-shape NMS — WITHOUT any host sync, so a caller can overlap the
+    sync/retry half (cluster_batch_finalize) with the next batch's device
+    work. Returns an opaque pending tuple."""
     b = x.shape[0]
     keys = jax.random.split(key, b)
     shifted, bw = _batched_shift(keys, x, jnp.float32(quantile),
@@ -348,7 +340,22 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
     # dispatch all NMS programs before any host sync so they pipeline
     results = [nms(shifted[i], x[i], bw[i]) for i in range(b)]
     labels = [r[0] for r in results]
-    nums = np.asarray(jnp.stack([r[2] for r in results]))  # single sync
+    nums = jnp.stack([r[2] for r in results])
+    return (labels, nums, keys, x)
+
+
+def cluster_batch_finalize(pending, *, num_samples=10000, quantile=0.015,
+                           iterations=50, max_clusters: int = 49,
+                           retry_factor: float = 1.2, bf16: bool = False,
+                           tol: float = DEFAULT_MS_TOL):
+    """Host half of cluster_batch: ONE sync on the cluster counts, then
+    the rare per-shape guarded retries. Pass the same clustering params
+    as the cluster_batch_async call that produced `pending`."""
+    import numpy as np
+
+    labels, nums_j, keys, x = pending
+    b = len(labels)
+    nums = np.asarray(nums_j)  # single sync
     capped = np.zeros((b,), bool)
     bw_capped = np.zeros((b,), bool)
     for i in np.nonzero(nums > max_clusters)[0]:  # rare guarded retries
@@ -363,6 +370,29 @@ def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
         bw_capped[i] = bool(res.bw_capped)
     return (jnp.stack(labels), jnp.asarray(nums),
             {"capped": capped, "bw_capped": bw_capped})
+
+
+def cluster_batch(key, x, *, num_samples=10000, quantile=0.015,
+                  iterations=50, max_clusters: int = 49,
+                  retry_factor: float = 1.2, bf16: bool = False,
+                  tol: float = DEFAULT_MS_TOL):
+    """Cluster a batch of shapes: one batched Pallas launch for the shift
+    iterations (the throughput path, SURVEY §2.9), per-shape NMS, and an
+    individual guarded retry only for shapes that exceed max_clusters.
+
+    x: (B, N, E) unit rows. Returns (labels (B, N) int32,
+    num_clusters (B,) int32, guard_flags) — guard_flags is a dict of (B,)
+    bool arrays {"capped", "bw_capped"} flagging shapes whose guarded
+    retry diverged from the reference's unbounded path.
+    TPU-only (uses the Pallas step)."""
+    pending = cluster_batch_async(key, x, num_samples=num_samples,
+                                  quantile=quantile, iterations=iterations,
+                                  bf16=bf16, tol=tol)
+    return cluster_batch_finalize(pending, num_samples=num_samples,
+                                  quantile=quantile, iterations=iterations,
+                                  max_clusters=max_clusters,
+                                  retry_factor=retry_factor, bf16=bf16,
+                                  tol=tol)
 
 
 @functools.partial(

@@ -241,7 +241,7 @@ def siou_matched_segments_usecd(target, pred_labels, primitives_pred,
 
 
 def siou_matched_segments_usecd_batch(targets, pred_labels, primitives_pred,
-                                      primitives, points):
+                                      primitives, points, cost_all=None):
     """siou_matched_segments_usecd for a BATCH of shapes with exactly two
     device dispatches total: one (B, 50, 50) relaxed-IoU cost matrix and
     one padded masked chamfer over every matched pair of every shape.
@@ -252,12 +252,20 @@ def siou_matched_segments_usecd_batch(targets, pred_labels, primitives_pred,
     targets/pred_labels/primitives_pred/primitives: (B, N) int arrays;
     points: (B, N, 3). Returns a list of (seg_iou, type_iou, matching,
     prim_pairs, recall) tuples, numerically identical to calling
-    siou_matched_segments_usecd per shape."""
+    siou_matched_segments_usecd per shape.
+
+    cost_all: optional precomputed (B, 50, 50) _relaxed_cost_from_labels
+    result for these exact labels — lets a pipelined caller enqueue the
+    device dispatch ahead of time (predict_shapes_async) instead of
+    queueing it behind the NEXT batch's device programs."""
     bsz = len(targets)
-    t_arr = np.stack([np.asarray(t).astype(np.int32) for t in targets])
     p_arr = np.stack([np.asarray(p).astype(np.int32) for p in pred_labels])
-    cost_all = np.asarray(_relaxed_cost_from_labels(
-        jnp.asarray(p_arr), jnp.asarray(t_arr)))
+    if cost_all is None:
+        t_arr = np.stack([np.asarray(t).astype(np.int32) for t in targets])
+        cost_all = np.asarray(_relaxed_cost_from_labels(
+            jnp.asarray(p_arr), jnp.asarray(t_arr)))
+    else:
+        cost_all = np.asarray(cost_all)
 
     partial = []
     all_pairs = []

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sednet_tpu.cluster import cluster_batch, guard_mean_shift, hpnet_process
-from sednet_tpu.cluster.mean_shift import DEFAULT_MS_TOL
+from sednet_tpu.cluster import guard_mean_shift, hpnet_process
+from sednet_tpu.cluster.mean_shift import DEFAULT_MS_TOL, cluster_batch_async
 from sednet_tpu.cluster.spectral import (compute_entropy, hpnet_enrich,
                                          normal_affinity_topk,
                                          spectral_eigvecs)
@@ -251,7 +251,7 @@ def _cluster_shapes_xla(keys, emb, quantile, num_samples: int,
     return jax.vmap(one)(keys, emb)
 
 
-def predict_shapes(
+def predict_shapes_async(
     model: SEDNet,
     params_type,
     params_inst,
@@ -267,16 +267,15 @@ def predict_shapes(
     forward_fn=None,
     mesh=None,
 ):
-    """Run the full per-shape pipeline on a batch dict; returns a list of
-    per-shape result dicts (cluster ids, pred types, metrics).
+    """Enqueue the DEVICE half of the per-shape pipeline — forwards, hpnet
+    enrichment, clustering dispatch, argmax/softmax — with no host sync,
+    and return an opaque pending dict for predict_shapes_finalize.
 
-    Pass tta_fn/forward_fn (from make_tta_type_log_prob / make_forward) when
-    calling repeatedly — a fresh closure per call would retrace.
-
-    mesh: optional jax Mesh — shards the shape axis over devices (forward,
-    TTA and, without hpnet, the clustering; SURVEY §2.9's shape-level
-    parallelism replacing the reference's per-shape loop,
-    generate_predictions_aug.py:178-213)."""
+    The split exists so a caller can overlap batch k's host half (the
+    cluster-count sync, rare guard retries, and the Hungarian/chamfer
+    metric stage) with batch k+1's device work (predict_shapes_stream);
+    on a relay-attached chip the host half is ~30% of the sequential
+    reference-default eval wall."""
     x = np.concatenate([batch["points"], batch["normals"]], -1).astype(
         np.float32) if cfg.normals else batch["points"].astype(np.float32)
     x = jnp.asarray(x)
@@ -367,21 +366,77 @@ def predict_shapes(
         emb_n = embedding / jnp.clip(
             jnp.linalg.norm(embedding, axis=-1, keepdims=True), min=1e-12)
 
-    # --- cluster the whole batch, then ONE host transfer ---
-    cap = cfg.ms_max_clusters - 1
+    # --- enqueue the clustering; the host sync happens in finalize ---
     ns = min(cfg.ms_num_samples, cfg.num_points)
     ckey = jax.random.fold_in(key, 1000)
-    guard_flags = {"capped": np.zeros((b,), bool),
-                   "bw_capped": np.zeros((b,), bool)}
     if mesh is not None:
         keys_c = jax.random.split(ckey, b)
         labels_all, nums_all = _cluster_shapes_xla(
             keys_c, emb_n, jnp.float32(cfg.ms_quantile), ns,
             cfg.ms_iterations, cfg.ms_tol)
+        cluster_pending = ("mesh", (labels_all, nums_all, keys_c, emb_n))
+    elif jax.default_backend() == "tpu":
+        cluster_pending = ("tpu", cluster_batch_async(
+            ckey, emb_n, num_samples=ns, quantile=cfg.ms_quantile,
+            iterations=cfg.ms_iterations, bf16=cfg.ms_bf16,
+            tol=cfg.ms_tol))
+    else:
+        # CPU fallback: dispatch every shape's guarded program, sync once
+        rs = [guard_mean_shift(
+            jax.random.fold_in(key, 1000 + i), emb_n[i], num_samples=ns,
+            quantile=cfg.ms_quantile, iterations=cfg.ms_iterations,
+            max_clusters=cfg.ms_max_clusters - 1,
+            retry_factor=cfg.ms_retry_factor, tol=cfg.ms_tol)
+            for i in range(b)]
+        cluster_pending = ("cpu", rs)
+
+    # pre-enqueue the metric stage's (B, 50, 50) cost matrix from the
+    # PRE-RETRY labels: dispatched from finalize it would queue behind
+    # the NEXT batch's device programs in a double-buffered stream; the
+    # rare guard retries invalidate it and finalize recomputes
+    from sednet_tpu.metrics.segmentation import _relaxed_cost_from_labels
+
+    kind, data = cluster_pending
+    labels_pre = (data[0] if kind == "mesh" else
+                  jnp.stack(data[0]) if kind == "tpu" else
+                  jnp.stack([r.labels for r in data]))
+    cost_pre = _relaxed_cost_from_labels(
+        labels_pre.astype(jnp.int32),
+        jnp.asarray(np.asarray(batch["labels"]).astype(np.int32)))
+
+    # device softmax/argmax enqueued here, transferred in finalize;
+    # edge_logits is None for models built with edge_module=False
+    return {
+        "batch": batch, "cfg": cfg, "b": b, "cache": cache,
+        "deferred_puts": deferred_puts, "cluster": cluster_pending,
+        "cost_pre": cost_pre,
+        "pred_prim": type_lp.argmax(-1),
+        "edge_prob": (jax.nn.softmax(edge_logits, -1)
+                      if edge_logits is not None else None),
+    }
+
+
+def predict_shapes_finalize(pending):
+    """Host half of the pipeline: one cluster-count sync + rare guarded
+    retries, the deferred spectral-cache writes, the prediction
+    transfers, and the batched SIOU_usecd metric stage. Returns the list
+    of per-shape result dicts."""
+    from sednet_tpu.cluster.mean_shift import cluster_batch_finalize
+
+    batch, cfg, b = pending["batch"], pending["cfg"], pending["b"]
+    cap = cfg.ms_max_clusters - 1
+    ns = min(cfg.ms_num_samples, cfg.num_points)
+    guard_flags = {"capped": np.zeros((b,), bool),
+                   "bw_capped": np.zeros((b,), bool)}
+    kind, data = pending["cluster"]
+    retried = False
+    if kind == "mesh":
+        labels_all, nums_all, keys_c, emb_n = data
         # np.array (copy): asarray views of jax arrays are read-only and
         # the retry loop writes rows in place
         labels_np = np.array(labels_all)
         nums_np = np.array(nums_all)
+        retried = bool(np.any(nums_np > cap))
         for i in np.nonzero(nums_np > cap)[0]:  # rare guarded retries
             res = guard_mean_shift(
                 keys_c[i], emb_n[i], num_samples=ns,
@@ -392,36 +447,31 @@ def predict_shapes(
             nums_np[i] = int(res.num_clusters)
             guard_flags["capped"][i] = bool(res.capped)
             guard_flags["bw_capped"][i] = bool(res.bw_capped)
-    elif jax.default_backend() == "tpu":
-        labels_all, nums_all, guard_flags = cluster_batch(
-            ckey, emb_n, num_samples=ns, quantile=cfg.ms_quantile,
+    elif kind == "tpu":
+        retried = bool(np.any(np.asarray(data[1]) > cap))  # pre-retry nums
+        labels_all, nums_all, guard_flags = cluster_batch_finalize(
+            data, num_samples=ns, quantile=cfg.ms_quantile,
             iterations=cfg.ms_iterations, max_clusters=cap,
             retry_factor=cfg.ms_retry_factor, bf16=cfg.ms_bf16,
             tol=cfg.ms_tol)
         labels_np = np.asarray(labels_all)
         nums_np = np.asarray(nums_all)
     else:
-        # CPU fallback: dispatch every shape's guarded program, sync once
-        rs = [guard_mean_shift(
-            jax.random.fold_in(key, 1000 + i), emb_n[i], num_samples=ns,
-            quantile=cfg.ms_quantile, iterations=cfg.ms_iterations,
-            max_clusters=cap, retry_factor=cfg.ms_retry_factor,
-            tol=cfg.ms_tol)
-            for i in range(b)]
+        rs = data
         labels_np = np.asarray(jnp.stack([r.labels for r in rs]))
         nums_np = np.asarray(jnp.stack([r.num_clusters for r in rs]))
         guard_flags = {
             "capped": np.asarray(jnp.stack([r.capped for r in rs])),
             "bw_capped": np.asarray(jnp.stack([r.bw_capped for r in rs]))}
 
-    for sid, v, ent in deferred_puts:
+    cache = pending["cache"]
+    for sid, v, ent in pending["deferred_puts"]:
         cache.put(sid, v, ent)
 
-    # one device softmax/argmax + transfer for the whole batch;
-    # edge_logits is None for models built with edge_module=False
-    pred_prim_all = np.asarray(type_lp.argmax(-1))
-    edge_prob_all = (np.asarray(jax.nn.softmax(edge_logits, -1))
-                     if edge_logits is not None else
+    # one transfer each for the whole batch's predictions
+    pred_prim_all = np.asarray(pending["pred_prim"])
+    edge_prob_all = (np.asarray(pending["edge_prob"])
+                     if pending["edge_prob"] is not None else
                      np.zeros(pred_prim_all.shape + (2,), np.float32))
     # metric stage batched across shapes: 2 device dispatches total (one
     # (B,50,50) cost matrix + one padded chamfer over all matched pairs)
@@ -432,7 +482,10 @@ def predict_shapes(
         [labels_np[i].astype(np.int64) for i in range(b)],
         [pred_prim_all[i].astype(np.int64) for i in range(b)],
         [batch["prim"][i].astype(np.int64) for i in range(b)],
-        [batch["points"][i] for i in range(b)])
+        [batch["points"][i] for i in range(b)],
+        # the pre-enqueued cost matches the final labels unless a guard
+        # retry rewrote some shape's labels (rare) — then recompute
+        cost_all=None if retried else pending["cost_pre"])
     results = []
     for i in range(b):
         s_iou, p_iou, _, _, s_recall = mets[i]
@@ -448,6 +501,84 @@ def predict_shapes(
             "guard_bw_capped": bool(guard_flags["bw_capped"][i]),
         })
     return results
+
+
+def predict_shapes(
+    model: SEDNet,
+    params_type,
+    params_inst,
+    batch: dict,
+    cfg: Config,
+    *,
+    key,
+    multi_vote: bool = False,
+    fold5drop: bool = False,
+    cache: SpectralCache | None = None,
+    shape_ids=None,
+    tta_fn=None,
+    forward_fn=None,
+    mesh=None,
+):
+    """Run the full per-shape pipeline on a batch dict; returns a list of
+    per-shape result dicts (cluster ids, pred types, metrics).
+
+    Pass tta_fn/forward_fn (from make_tta_type_log_prob / make_forward) when
+    calling repeatedly — a fresh closure per call would retrace.
+
+    mesh: optional jax Mesh — shards the shape axis over devices (forward,
+    TTA and, without hpnet, the clustering; SURVEY §2.9's shape-level
+    parallelism replacing the reference's per-shape loop,
+    generate_predictions_aug.py:178-213)."""
+    return predict_shapes_finalize(predict_shapes_async(
+        model, params_type, params_inst, batch, cfg, key=key,
+        multi_vote=multi_vote, fold5drop=fold5drop, cache=cache,
+        shape_ids=shape_ids, tta_fn=tta_fn, forward_fn=forward_fn,
+        mesh=mesh))
+
+
+def predict_shapes_stream(
+    model: SEDNet,
+    params_type,
+    params_inst,
+    batches,
+    cfg: Config,
+    *,
+    key,
+    multi_vote: bool = False,
+    fold5drop: bool = False,
+    cache: SpectralCache | None = None,
+    tta_fn=None,
+    forward_fn=None,
+    mesh=None,
+):
+    """Double-buffered eval over a stream of batches: batch k+1's device
+    programs (forwards, enrichment, clustering) are enqueued BEFORE batch
+    k's host half runs (cluster-count sync, guard retries, Hungarian +
+    chamfer metric), so host post-processing overlaps device compute —
+    the production-serving throughput path the reference's strictly
+    sequential eval loop (generate_predictions_aug.py:178-213) cannot
+    express. Per-batch outputs and metrics are IDENTICAL to calling
+    predict_shapes per batch with key=fold_in(key, batch_index).
+
+    batches: iterable of batch dicts, or of (batch_dict, shape_ids)
+    tuples when a SpectralCache is in play. Yields one result list per
+    batch, in order."""
+    if tta_fn is None:
+        tta_fn = make_tta_type_log_prob(model, cfg, multi_vote, fold5drop)
+    if forward_fn is None:
+        forward_fn = make_forward(model, fused=cfg.fused_encoder)
+    pending = None
+    for k, item in enumerate(batches):
+        batch_k, sids = item if isinstance(item, tuple) else (item, None)
+        nxt = predict_shapes_async(
+            model, params_type, params_inst, batch_k, cfg,
+            key=jax.random.fold_in(key, k), cache=cache, shape_ids=sids,
+            tta_fn=tta_fn, forward_fn=forward_fn, mesh=mesh)
+        if pending is not None:
+            yield predict_shapes_finalize(pending)
+        pending = nxt
+    if pending is not None:
+        yield predict_shapes_finalize(pending)
 
 
 def save_shape_outputs(out_dir: str, shape_id, batch_i: dict, result: dict,
@@ -574,24 +705,23 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
                 rest.append(f)
         dump_futs[:] = rest
 
-    for batch in loader:
-        b = batch["points"].shape[0]
+    def _prep(raw, sid0):
+        b = raw["points"].shape[0]
         pad = 0
         if mesh is not None and b % mesh_devices:
             pad = mesh_devices - b % mesh_devices  # final partial batch
-            batch = {k: np.concatenate(
-                [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
+            raw = {k: np.concatenate(
+                [v, np.repeat(v[-1:], pad, axis=0)]) for k, v in raw.items()}
         # padded rows duplicate the last shape — give them its id so
         # predict_shapes can index shape_ids for every padded row (their
         # results are dropped below; the spectral-cache key reuse is exact
         # since the geometry is identical)
-        ids = list(range(sid, sid + b)) + [sid + b - 1] * pad
-        results = predict_shapes(model, params_type, params_inst, batch, cfg,
-                                 key=key, multi_vote=multi_vote,
-                                 fold5drop=fold5drop, cache=cache,
-                                 shape_ids=ids, tta_fn=tta_fn,
-                                 forward_fn=forward_fn, mesh=mesh)
-        results = results[: b]
+        ids = list(range(sid0, sid0 + b)) + [sid0 + b - 1] * pad
+        return raw, ids, b
+
+    def _consume(pend, batch_p, ids, b):
+        nonlocal sid
+        results = predict_shapes_finalize(pend)[: b]
         if limit:
             results = results[: max(limit - (sid - starts), 0)]
         for i, r in enumerate(results):
@@ -599,7 +729,7 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
                         ids[i], r["inst_iou"], r["type_iou"], r["inst_recall"],
                         " [GUARD-CAPPED]" if r.get("guard_capped") else "")
             all_metrics.append(r)
-            item = {k: batch[k][i] for k in batch}
+            item = {k: batch_p[k][i] for k in batch_p}
             if save_viz:
                 dump_futs.append(dump_pool.submit(
                     save_shape_outputs, out_dir, ids[i], item, r))
@@ -608,8 +738,27 @@ def run_prediction(cfg: Config, *, data_root=".", save_viz=True,
         if dump_pool is not None:
             _drain_dumps(done_only=True)
         sid += len(results)
-        if limit and sid - starts >= limit:
+
+    # double-buffered eval loop: batch k+1's device programs are enqueued
+    # before batch k's host half (sync, guard retries, metric, dumps), so
+    # host post-processing overlaps device compute — per-batch keys and
+    # outputs identical to the sequential loop
+    pending = None
+    enq = starts
+    for batch in loader:
+        batch_p, ids, b = _prep(batch, enq)
+        enq += b
+        pend = predict_shapes_async(
+            model, params_type, params_inst, batch_p, cfg, key=key,
+            multi_vote=multi_vote, fold5drop=fold5drop, cache=cache,
+            shape_ids=ids, tta_fn=tta_fn, forward_fn=forward_fn, mesh=mesh)
+        if pending is not None:
+            _consume(*pending)
+        pending = (pend, batch_p, ids, b)
+        if limit and enq - starts >= limit:
             break
+    if pending is not None:
+        _consume(*pending)
 
     if dump_pool is not None:
         try:

@@ -280,3 +280,38 @@ def test_tta_fold5drop_short_input_no_crash(small_model, rng):
     lp = fn(params, x)
     assert lp.shape[:2] == (1, N)
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_stream_matches_per_batch_predict(small_model, rng):
+    """predict_shapes_stream's double-buffered outputs must be IDENTICAL
+    (labels, metrics, guard flags) to calling predict_shapes per batch
+    with key=fold_in(key, batch_index) — the overlap is scheduling only."""
+    from sednet_tpu.predict import make_forward, predict_shapes_stream
+
+    cfg, model, params = small_model
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, hpnet_embed=True)
+    key = jax.random.PRNGKey(11)
+    batches = [_batch(rng, 2) for _ in range(3)]
+    tta = make_tta_type_log_prob(model, cfg2, False, False)
+    fwd = make_forward(model)
+
+    seq = [predict_shapes(model, params, params, b, cfg2,
+                          key=jax.random.fold_in(key, k),
+                          tta_fn=tta, forward_fn=fwd)
+           for k, b in enumerate(batches)]
+    streamed = list(predict_shapes_stream(model, params, params, batches,
+                                          cfg2, key=key, tta_fn=tta,
+                                          forward_fn=fwd))
+    assert len(streamed) == len(seq) == 3
+    for rs, ss in zip(seq, streamed):
+        for r, s in zip(rs, ss):
+            np.testing.assert_array_equal(r["cluster_ids"], s["cluster_ids"])
+            np.testing.assert_array_equal(r["pred_primitives"],
+                                          s["pred_primitives"])
+            assert r["inst_iou"] == s["inst_iou"]
+            assert r["type_iou"] == s["type_iou"]
+            assert r["inst_recall"] == s["inst_recall"]
+            assert r["num_clusters"] == s["num_clusters"]
+            assert r["guard_capped"] == s["guard_capped"]
