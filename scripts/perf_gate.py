@@ -41,6 +41,8 @@ FLOORS = {
     "single-shape forward": 1.75,                 # r5: 4.10 / 2.07 (ping!)
     "full pipeline": 4.1,                         # r5: 5.50 / 4.87
     "multi-vote TTA": 2.85,                       # r5: 3.37 / 3.36
+    "reference-default eval device pipeline": 4.0,   # r5: 4.76 relay-free
+    "reference-default eval (hpnet + usecd, streamed)": 2.75,  # r5: 3.39
     "reference-default eval (hpnet + usecd)": 2.7,   # r5: 3.53 / 3.22
     "reference-default eval (hpnet + fold5drop)": 1.55,  # r5: 1.82 / 1.81
     "bf16 fast path": 7.9,                        # r5: 9.33 / 9.31
