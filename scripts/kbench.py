@@ -64,12 +64,12 @@ def main():
                         "measure the beyond-default-cap regime)")
     p.add_argument("--spectral-modes", default="scatter,pallas,scan",
                    help="comma list of matfree transpose modes to time. "
-                        "Round-4 finding: JITTED, all modes are within "
-                        "~1.5x of each other (gather/scatter issue-bound "
-                        "~30 ms per direction at N=10k — "
-                        "scripts/probe_spectral_gather.py); round-3's "
-                        "'scatter 478x slower' was the EAGER relay-"
-                        "dispatch artifact")
+                        "Round-5 finding (chained amortized device time "
+                        "— single-dispatch timings are ~all relay ping): "
+                        "scatter 157.8 ms/solve at N=10k beats sorted "
+                        "177.5 / pallas 429 / scan 971; dense 36.8. "
+                        "Round-3's 'scatter 478x slower' was the EAGER "
+                        "relay-dispatch artifact")
     p.add_argument("--spectral-reps", type=int, default=3)
     args = p.parse_args()
 
@@ -194,25 +194,42 @@ def main():
         nrj = jnp.asarray(nr)
         key = jax.random.PRNGKey(0)
 
-        # jit the whole solve: lobpcg_standard run eagerly is hundreds of
-        # small dispatches, each paying the ~20 ms relay round-trip — an
-        # unjitted run times the relay, not the kernel (the production
-        # path in predict._hpnet_enrich_batch is always jitted).
-        dense_jit = jax.jit(lambda x, m, s: spectral_eigvecs(
-            normal_affinity_topk(x, m), s))
+        # chain K_AMORT dependent solves in ONE dispatch: the relay's
+        # ~30 ms ping dominates ANY single-dispatch timing (round-5
+        # finding — every gather/scatter formulation "measured" 28-35 ms
+        # because that IS the round trip; the round-3/4 mode rankings
+        # built on such numbers were artifacts). The fori_loop carry
+        # perturbs the input by 0-sized epsilon so XLA cannot CSE the
+        # iterations; reported ms are per solve, device-true.
+        K_AMORT = 5
+
+        @jax.jit
+        def dense_chain(x, m, s):
+            def body(i, acc):
+                aff = normal_affinity_topk(x + acc[0, 0] * 1e-30, m)
+                return spectral_eigvecs(aff, s)
+            return jax.lax.fori_loop(
+                0, K_AMORT, body, jnp.zeros((x.shape[0], 12), jnp.float32))
 
         def dense_run():
-            return np.asarray(dense_jit(xyz, nrj, key)[0, 0])
+            return np.asarray(dense_chain(xyz, nrj, key)[0, 0])
 
-        emit("spectral dense aff+lobpcg", timeit(dense_run) * 1e3)
+        emit("spectral dense aff+lobpcg [amortized]",
+             timeit(dense_run) * 1e3 / K_AMORT)
         for mode in [m for m in args.spectral_modes.split(",") if m]:
-            mf_jit = jax.jit(functools.partial(
-                spectral_eigvecs_matfree, transpose_mode=mode))
+            @functools.partial(jax.jit, static_argnames=("mode",))
+            def mf_chain(x, m, s, mode):
+                def body(i, acc):
+                    return spectral_eigvecs_matfree(
+                        x + acc[0, 0] * 1e-30, m, s, transpose_mode=mode)
+                return jax.lax.fori_loop(
+                    0, K_AMORT, body,
+                    jnp.zeros((x.shape[0], 12), jnp.float32))
 
-            def mf(mf_jit=mf_jit):
-                return np.asarray(mf_jit(xyz, nrj, key)[0, 0])
-            emit(f"spectral matfree [{mode}]",
-                 timeit(mf, reps=args.spectral_reps) * 1e3)
+            def mf(mode=mode):
+                return np.asarray(mf_chain(xyz, nrj, key, mode)[0, 0])
+            emit(f"spectral matfree [{mode}] [amortized]",
+                 timeit(mf, reps=args.spectral_reps) * 1e3 / K_AMORT)
 
     if args.json:
         print(f"wrote {len(RECORDS)} records to {args.json}")

@@ -241,13 +241,23 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
 
 
 def default_transpose_mode() -> str:
-    """Preferred A^T v layout for the matfree LOBPCG matvec by backend:
-    the one-pass Pallas segmented scan on TPU (the scatter-add measured
-    478x slower than a dense matvec on v5e, segment_sum's lowering no
-    better, and the whole-array XLA scan pays ceil(log2(E)) full HBM
-    passes per matvec — ROADMAP r3/r4), plain scatter elsewhere (XLA:CPU
-    lowers scatter-add fine and skips every scan pass)."""
-    return "pallas" if target_backend() == "tpu" else "scatter"
+    """Preferred A^T v layout for the matfree LOBPCG matvec: plain
+    scatter, on every backend.
+
+    Round 5 re-measured all four modes with K dependent solves chained
+    in ONE dispatch (the only timing the axon relay cannot pollute —
+    its ~30 ms ping dominates any single-dispatch measurement, which is
+    how every earlier ranking went wrong). TRUE device time per solve,
+    v5e, N=10k/knn=50/k=12: dense 36.8 ms, scatter 157.8, sorted 177.5,
+    pallas 429, scan 971; at N=32k scatter 932 vs pallas 1523. The
+    round-3 "scatter 478x slower than dense" was the EAGER-dispatch
+    artifact, and the round-4 preference for the Pallas scan rested on
+    single-dispatch numbers that were ~equal because ping swamped them
+    all (scripts/probe_spectral_gather.py measures 28-35 ms for every
+    formulation of either direction at any lowering — that's the relay
+    round-trip, not the kernel). The sorted/scan/pallas layouts remain
+    available for A/B; scatter is both the simplest and the fastest."""
+    return "scatter"
 
 
 def _sorted_transpose_layout(idx: jax.Array, coef: jax.Array):
@@ -282,10 +292,12 @@ def _segment_sum_sorted_scan(vals: jax.Array, dest: jax.Array, n: int,
     (the per-destination cumulative counts from _sorted_transpose_layout)
     gathers it. Empty destinations return 0.
 
-    Every pass is a fully vectorized (E, m) sweep — on TPU this replaces
-    the scatter-add that measured 478x slower than a dense matvec and the
-    segment_sum lowering that was no better (ROADMAP r3); traffic is
-    ~2 * E * m * 4 bytes per pass, ceil(log2(E)) passes.
+    Every pass is a fully vectorized (E, m) sweep; traffic is
+    ~2 * E * m * 4 bytes per pass, ceil(log2(E)) passes. NOTE (round 5):
+    the amortized-device-time A/B that motivated this design turned out
+    to favor the plain scatter after all — the earlier "scatter 478x
+    slower" figure was an eager-dispatch artifact (default_transpose_mode)
+    — so this mode is a kept A/B alternative, not the default.
 
     vals: (E, m) f32, dest: (E,) int32 ascending, ends: (N,) int32.
     """
@@ -316,9 +328,9 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
     SURVEY §5). A v is one gather over the N*k sparse entries; A^T v is
     the hard direction, selected by transpose_mode:
 
-      "scatter"  .at[].add per matvec — the baseline; measured
-                 scatter-BOUND on v5e (478x slower than a dense matvec
-                 at N=2048, ROADMAP r3 item 1);
+      "scatter"  .at[].add per matvec — the baseline AND the fastest
+                 mode on every backend (round-5 amortized device time,
+                 see default_transpose_mode);
       "sorted"   one argsort by destination per OPERATOR (amortized over
                  the ~3*iters matvecs), then per matvec: gather + one
                  sorted-segment sum (exact, same f32 sums as scatter);
@@ -453,7 +465,8 @@ def hpnet_enrich_dense(emb: jax.Array, xyz: jax.Array, normals: jax.Array,
                        iters: int = 10) -> jax.Array:
     """hpnet_enrich through the DENSE affinity + LOBPCG — the TPU-fast
     solver while the N x N matrix fits HBM (config.spectral_dense_max_n;
-    the matfree matvec measured 478x slower per solve at N=2048 on v5e).
+    4.3x faster per solve than the matfree matvec at N=10k on a v5e,
+    amortized device time).
     Pure and vmappable: the sharded predict path vmaps this across the
     shape axis when the auto policy picks dense."""
     aff = normal_affinity_topk(xyz, normals, sigma=sigma, k=knn)

@@ -105,12 +105,15 @@ class Config:
     spectral_eigvecs: int = 12
     spectral_matfree: Optional[bool] = None  # matrix-free LOBPCG.
     # None = auto: dense affinity up to spectral_dense_max_n points,
-    # matrix-free beyond. MEASURED on a v5e (round 3): the matfree matvec
-    # is scatter-add-bound on TPU — 23.9 s/solve at N=2048 vs 0.05 s for
-    # the dense MXU matmul path (478x); the dense 400 MB N=10k affinity is
-    # a cheap transient on a 16 GB chip. Matfree is exact for the same
-    # operator (test_matfree_matvec_matches_dense) and remains the
-    # out-of-HBM escape hatch (N > dense cap, sharded enrichment).
+    # matrix-free beyond. TRUE device time on a v5e (round 5, K solves
+    # chained per dispatch): dense 36.8 ms/solve at N=10k vs matfree
+    # [scatter] 157.8 — 4.3x, gather/scatter-bandwidth-bound (the round-3
+    # "478x" figure was an EAGER-dispatch artifact; see
+    # cluster.spectral.default_transpose_mode). The dense 400 MB N=10k
+    # affinity is a cheap transient on a 16 GB chip. Matfree is exact for
+    # the same operator (test_matfree_matvec_matches_dense) and remains
+    # the out-of-HBM escape hatch (N > dense cap, sharded enrichment):
+    # 932 ms/solve at N=32k.
     spectral_dense_max_n: int = 16384
     # factored edge-conv GroupNorm: ONE gather pass of (sum, sumsq,
     # signed-extremum) reductions reconstructs the GN statistics exactly

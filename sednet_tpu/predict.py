@@ -173,8 +173,9 @@ def spectral_embed(xyz, normals, cfg: Config, shape_id=None,
 
     cfg.spectral_matfree None = auto: dense affinity while N fits the
     budget (the TPU-fast path: one transient N x N + MXU matvecs —
-    measured 478x faster per solve than the scatter-bound matfree matvec
-    on a v5e), matrix-free beyond (the out-of-HBM escape hatch)."""
+    4.3x faster per solve than the gather-bound matfree matvec on a v5e,
+    true amortized device time), matrix-free beyond (the out-of-HBM
+    escape hatch)."""
     cached = cache.get(shape_id) if (cache and shape_id is not None) else None
     if cached is not None:
         return cached
