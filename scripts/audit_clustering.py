@@ -168,7 +168,9 @@ def main():
     assert tol_ab["pallas_label_iou"] > 0.999, tol_ab
     assert tol_ab["xla_max_drift"] < 1e-3, tol_ab
     assert tol_ab["pallas_max_drift"] < 1e-3, tol_ab
-    print("AUDIT OK")
+    # stderr: tpu_roundup.sh tees stdout into AUDIT_CLUSTER_r{N}.json, which
+    # must stay pure JSONL.
+    print("AUDIT OK", file=sys.stderr)
 
 
 if __name__ == "__main__":
