@@ -62,7 +62,7 @@ def main():
     p.add_argument("--n", type=int, default=10000,
                    help="point count (spectral section: use 32768+ to "
                         "measure the beyond-default-cap regime)")
-    p.add_argument("--spectral-modes", default="scatter,pallas,scan",
+    p.add_argument("--spectral-modes", default="vocab,scatter,pallas,scan",
                    help="comma list of matfree transpose modes to time. "
                         "Round-5 finding (chained amortized device time "
                         "— single-dispatch timings are ~all relay ping): "

@@ -315,22 +315,128 @@ def _segment_sum_sorted_scan(vals: jax.Array, dest: jax.Array, n: int,
     return jnp.where(counts_pos[:, None], last, 0.0)
 
 
+def _default_vocab_cap(n: int) -> int:
+    """Static compact-column capacity for transpose_mode="vocab".
+
+    Measured on synthetic CAD fixtures (4 shapes, N=10k): the farthest-50
+    graph's unique-target count is 399-844 (4-8% of N) — the reference
+    quirk's `largest=True` top-k (smooth_normal_matrix.py, torch.topk
+    default) means only hull-extreme points ever appear as neighbours.
+    n//8 (>=512, <=4096, lane-rounded) leaves ~50% headroom at 10k; if a
+    shape exceeds the cap (e.g. a pure sphere, where every point is some
+    antipode's neighbour) the matvec falls back to the scatter path
+    inside the same jit, so the cap only affects speed, never values."""
+    return min(4096, max(512, _round_up(n // 8, 128)))
+
+
+def _vocab_layout(idx: jax.Array, coef: jax.Array, n: int, u_cap: int):
+    """Once-per-operator compact-column layout for transpose_mode="vocab".
+
+    The farthest-quirk affinity's nonzero COLUMNS concentrate on a small
+    target vocabulary (see _default_vocab_cap), so A (N x N, N*k entries)
+    is exactly representable as a dense (N, u_cap) slab A_c with
+    A_c[i, u] = coef[i, slot] where idx[i, slot] == targets[u]:
+
+        A v   = A_c @ v[targets]                  (one U-row gather)
+        A^T v = scatter_u(targets, A_c^T @ v)     (one U-row scatter)
+
+    i.e. both matvec directions become MXU matmuls over a matrix 8-25x
+    smaller than dense, with per-edge gathers/scatters eliminated from
+    the LOBPCG iteration entirely (they were the whole cost of the
+    scatter/sorted/scan/pallas modes — all gather-issue-bound at ~20x
+    the row-granular floor, scripts/profile_spectral_matfree.py).
+
+    Returns (targets (u_cap,) int32 — pad slots hold n, so downstream
+    gathers mask and scatters drop; a_c (N, u_cap) f32; n_unique traced
+    scalar for the overflow fallback). Exact: distinct top-k slots map to
+    distinct columns, so no collisions in the A_c scatter; row sums are
+    the same f32 terms as the scatter mode, reassociated."""
+    e = idx.size
+    flat = jnp.sort(idx.reshape(-1).astype(jnp.int32))            # (E,)
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                              (flat[1:] != flat[:-1]).astype(jnp.int32)])
+    rank = jnp.cumsum(is_new) - 1                                  # (E,)
+    n_unique = rank[-1] + 1
+    targets = jnp.full((u_cap,), n, jnp.int32).at[rank].set(
+        flat, mode="drop")
+    # original id -> vocab rank (only ever read at target positions)
+    lut = jnp.zeros((n,), jnp.int32).at[flat].set(rank)
+    cols = lut[idx]                                                # (N, k)
+    rows = jnp.broadcast_to(
+        jnp.arange(idx.shape[0], dtype=jnp.int32)[:, None], idx.shape)
+    a_c = jnp.zeros((idx.shape[0], u_cap), jnp.float32).at[
+        rows, cols].add(coef, mode="drop")
+    return targets, a_c, n_unique
+
+
+def _vocab_matvec(idx: jax.Array, coef: jax.Array, n: int, u_cap: int):
+    """Symmetrized-matvec closure for transpose_mode="vocab".
+
+    Both directions ride the compact (N, U) slab on the MXU; the only
+    irregular ops left in the LOBPCG iteration are a U-row gather and a
+    U-row scatter. If the shape's vocabulary overflows u_cap, a lax.cond
+    falls back to the per-edge scatter formulation inside the same jit —
+    the cap affects speed, never values (one branch executes per solve;
+    NOTE it degrades to select-both under vmap, but the matfree solver's
+    domain is single big clouds — batched <=16k shapes use dense)."""
+    targets, a_c, n_unique = _vocab_layout(idx, coef, n, u_cap)
+    t_valid = (targets < n)[:, None]                          # (U, 1)
+    t_safe = jnp.minimum(targets, n - 1)
+
+    def _vocab(v):
+        # Precision.HIGHEST: the default MXU path rounds f32 inputs to
+        # bf16 (measured 2.8e-3 vs 2e-7 rel err on the quirk affinity's
+        # 1e6 dynamic range) and these matmuls are HBM-traffic-bound, so
+        # the extra passes are free — this keeps the f32-exact class of
+        # the per-edge modes.
+        hi = lax.Precision.HIGHEST
+        tv = jnp.where(t_valid, v[t_safe], 0.0)               # (U, m)
+        av = lax.dot_general(a_c, tv, (((1,), (0,)), ((), ())),
+                             precision=hi)                    # (N, m)
+        atc = lax.dot_general(a_c, v, (((0,), (0,)), ((), ())),
+                              precision=hi)                   # (U, m)
+        atv = jnp.zeros_like(v).at[targets].add(atc, mode="drop")
+        return 0.5 * (av + atv)
+
+    def _fallback(v):
+        av = (v[idx] * coef[..., None]).sum(1)
+        contrib = coef[..., None] * v[:, None, :]             # (N, k, m)
+        atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
+            contrib.reshape(-1, v.shape[1]))
+        return 0.5 * (av + atv)
+
+    def matvec(v):  # v: (N, m)
+        return lax.cond(n_unique <= u_cap, _vocab, _fallback, v)
+
+    return matvec
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "knn", "k", "iters",
-                                              "transpose_mode"))
+                                              "transpose_mode",
+                                              "vocab_cap"))
 def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
                              key: jax.Array, *, sigma: float = 0.1,
                              knn: int = 50, k: int = 12,
                              iters: int = 10,
                              idx: jax.Array | None = None,
-                             transpose_mode: str = "scatter") -> jax.Array:
+                             transpose_mode: str = "scatter",
+                             vocab_cap: int | None = None) -> jax.Array:
     """Matrix-free LOBPCG on the symmetrized normalized affinity: never
     materializes the N x N matrix (the N-axis "long-context" plan of
     SURVEY §5). A v is one gather over the N*k sparse entries; A^T v is
     the hard direction, selected by transpose_mode:
 
-      "scatter"  .at[].add per matvec — the baseline AND the fastest
-                 mode on every backend (round-5 amortized device time,
-                 see default_transpose_mode);
+      "vocab"    exploits the farthest-quirk structure: the graph's
+                 target vocabulary is tiny (4-8% of N on CAD shapes —
+                 only hull-extreme points are ever "neighbours"), so the
+                 operator is built ONCE as a dense (N, U) compact-column
+                 slab and BOTH matvec directions become MXU matmuls plus
+                 a U-row gather/scatter (_vocab_layout). Per-edge memory
+                 ops leave the iteration entirely; overflowing the U cap
+                 falls back to the scatter formulation inside the jit;
+      "scatter"  .at[].add per matvec — the per-edge baseline and the
+                 fastest such mode on every backend (round-5 amortized
+                 device time, see default_transpose_mode);
       "sorted"   one argsort by destination per OPERATOR (amortized over
                  the ~3*iters matvecs), then per matvec: gather + one
                  sorted-segment sum (exact, same f32 sums as scatter);
@@ -356,7 +462,8 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
     """
     from jax.experimental.sparse.linalg import lobpcg_standard
 
-    if transpose_mode not in ("scatter", "sorted", "scan", "pallas"):
+    if transpose_mode not in ("scatter", "sorted", "scan", "pallas",
+                              "vocab"):
         raise ValueError(f"unknown transpose_mode {transpose_mode!r}")
     n = xyz.shape[0]
     idx, w, rsq = normal_affinity_sparse(xyz, normals, sigma=sigma, k=knn,
@@ -364,15 +471,24 @@ def spectral_eigvecs_matfree(xyz: jax.Array, normals: jax.Array,
     coef = w * rsq[idx] * rsq[:, None]   # full entry coefficient (N, k)
     if transpose_mode in ("sorted", "scan", "pallas"):
         src_s, coef_s, dest_s, ends_s = _sorted_transpose_layout(idx, coef)
+    if transpose_mode == "vocab":
+        matvec = _vocab_matvec(idx, coef, n,
+                               vocab_cap or _default_vocab_cap(n))
+        x0 = jax.random.normal(key, (n, k), jnp.float32)
+        _, u, _ = lobpcg_standard(matvec, x0, m=iters)
+        return u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-16)
+
+    def _scatter_transpose(v):
+        contrib = coef[..., None] * v[:, None, :]            # (N, k, m)
+        return jnp.zeros_like(v).at[idx.reshape(-1)].add(
+            contrib.reshape(-1, v.shape[1]))
 
     def matvec(v):  # v: (N, m)
         # A v where A[i, idx[i,j]] = rsq[i] w[i,j] rsq[idx[i,j]]
         av = (v[idx] * coef[..., None]).sum(1)               # (N, m)
         # A^T v: same entries, transposed
         if transpose_mode == "scatter":
-            contrib = coef[..., None] * v[:, None, :]        # (N, k, m)
-            atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
-                contrib.reshape(-1, v.shape[1]))
+            atv = _scatter_transpose(v)
         elif transpose_mode == "sorted":
             vals = coef_s[:, None] * v[src_s]                # (E, m)
             atv = jax.ops.segment_sum(vals, dest_s, num_segments=n,

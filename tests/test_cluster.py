@@ -248,7 +248,7 @@ def test_matfree_transpose_modes_agree(rng):
     oh /= np.linalg.norm(oh, axis=1, keepdims=True)
     emb0 = jnp.asarray(oh.astype(np.float32))
     outs = {}
-    for mode in ("scatter", "sorted", "scan", "pallas"):
+    for mode in ("scatter", "sorted", "scan", "pallas", "vocab"):
         e = hpnet_enrich(emb0, xyz2, nrm2, jax.random.PRNGKey(2), knn=12,
                          eig_k=4, transpose_mode=mode)
         res = guard_mean_shift(jax.random.PRNGKey(3), e, num_samples=256,
@@ -258,6 +258,101 @@ def test_matfree_transpose_modes_agree(rng):
     for mode, (l, num) in outs.items():
         assert num == k_gt, (mode, num, k_gt)
         assert (l == outs["scatter"][0]).all(), mode
+
+
+def test_vocab_layout_matvec_exact(rng):
+    """The compact-column "vocab" layout must reproduce BOTH matvec
+    directions within the f32-reassociation class (the matmuls run at
+    Precision.HIGHEST precisely because the default MXU path's bf16
+    input rounding costs 2.8e-3 on the quirk affinity's 1e6 range —
+    measured; this test would catch that regression)."""
+    from sednet_tpu.cluster.spectral import (_default_vocab_cap,
+                                             _vocab_layout,
+                                             normal_affinity_sparse)
+    from sednet_tpu.data import make_synthetic_shape
+
+    d = make_synthetic_shape(np.random.RandomState(7), n_points=800)
+    xyz = jnp.asarray(d["points"].astype(np.float32))
+    nrm = jnp.asarray(d["normals"].astype(np.float32))
+    idx, w, rsq = normal_affinity_sparse(xyz, nrm, k=20)
+    coef = w * rsq[idx] * rsq[:, None]
+    n = xyz.shape[0]
+    u_cap = _default_vocab_cap(n)
+    targets, a_c, n_unique = _vocab_layout(idx, coef, n, u_cap)
+    assert int(n_unique) <= u_cap  # CAD fixture vocab fits the cap
+
+    # the compact slab IS the operator: densify both and compare exactly
+    idx_n, coef_n = np.asarray(idx), np.asarray(coef, np.float64)
+    a_ref = np.zeros((n, n))
+    np.add.at(a_ref, (np.broadcast_to(np.arange(n)[:, None],
+                                      idx_n.shape).ravel(),
+                      idx_n.ravel()), coef_n.ravel())
+    tg = np.asarray(targets)
+    a_vo = np.zeros((n, n))
+    a_vo[:, tg[tg < n]] = np.asarray(a_c, np.float64)[:, tg < n]
+    np.testing.assert_array_equal(a_ref, a_vo)
+
+    # matvec values vs f64 numpy, f32-class tolerance
+    v = rng.randn(n, 6).astype(np.float32)
+    av64 = a_ref @ v.astype(np.float64)
+    atv64 = a_ref.T @ v.astype(np.float64)
+    from jax import lax
+    hi = lax.Precision.HIGHEST
+    vj = jnp.asarray(v)
+    t_valid = (targets < n)[:, None]
+    tv = jnp.where(t_valid, vj[jnp.minimum(targets, n - 1)], 0.0)
+    av = lax.dot_general(a_c, tv, (((1,), (0,)), ((), ())), precision=hi)
+    atc = lax.dot_general(a_c, vj, (((0,), (0,)), ((), ())), precision=hi)
+    atv = jnp.zeros_like(vj).at[targets].add(atc, mode="drop")
+    den = np.abs(av64).max()
+    assert np.abs(np.asarray(av) - av64).max() / den < 3e-6
+    den = np.abs(atv64).max()
+    assert np.abs(np.asarray(atv) - atv64).max() / den < 3e-6
+
+
+def test_vocab_mode_overflow_falls_back(rng):
+    """A vocab cap smaller than the shape's unique-target count must
+    flip the in-jit lax.cond to the per-edge scatter formulation — the
+    cap affects speed, never values. Asserted at MATVEC level (eager,
+    op-for-op identical to the scatter-mode expressions) because
+    post-LOBPCG eigvec comparison is not a valid invariant here (the
+    quirk affinity's localized eigvecs amplify any reassociation — see
+    test_matfree_transpose_modes_agree). The full solve is also run to
+    pin that the overflow path composes with LOBPCG."""
+    from sednet_tpu.cluster.spectral import (_vocab_matvec,
+                                             normal_affinity_sparse,
+                                             spectral_eigvecs_matfree)
+    from sednet_tpu.data import make_synthetic_shape
+
+    d = make_synthetic_shape(np.random.RandomState(9), n_points=300,
+                             n_segments=4)
+    xyz = jnp.asarray(d["points"].astype(np.float32))
+    nrm = jnp.asarray(d["normals"].astype(np.float32))
+    idx, w, rsq = normal_affinity_sparse(xyz, nrm, k=10)
+    coef = w * rsq[idx] * rsq[:, None]
+    n = xyz.shape[0]
+    assert np.unique(np.asarray(idx)).size > 8  # cap=8 must overflow
+
+    v = jnp.asarray(rng.randn(n, 5).astype(np.float32))
+    got = _vocab_matvec(idx, coef, n, u_cap=8)(v)
+    av = (v[idx] * coef[..., None]).sum(1)
+    atv = jnp.zeros_like(v).at[idx.reshape(-1)].add(
+        (coef[..., None] * v[:, None, :]).reshape(-1, 5))
+    # ulp-class only: the cond-compiled branch fuses the k-reduction
+    # slightly differently than the op-by-op eager reference (measured
+    # max rel 1.8e-7); anything beyond f32 reassociation would mean the
+    # fallback predicate picked the (8-column, wrong) vocab slab, whose
+    # error on this fixture is O(1).
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(0.5 * (av + atv)),
+                               rtol=1e-6, atol=1e-10)
+
+    u_vo = spectral_eigvecs_matfree(xyz, nrm, jax.random.PRNGKey(4),
+                                    knn=10, k=4, transpose_mode="vocab",
+                                    vocab_cap=8)
+    assert np.isfinite(np.asarray(u_vo)).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(u_vo), axis=1), 1.0, atol=1e-4)
 
 
 def test_hpnet_process_concat_shapes(rng):
