@@ -216,6 +216,23 @@ def main():
 
         emit("spectral dense aff+lobpcg [amortized]",
              timeit(dense_run) * 1e3 / K_AMORT)
+        if "vocab" in args.spectral_modes:
+            # visibility guard: if the fixture's farthest-graph target
+            # vocabulary overflows the cap, the vocab row below silently
+            # times the in-jit scatter fallback — record the size so the
+            # row is interpretable
+            from sednet_tpu.cluster.spectral import (_default_vocab_cap,
+                                                     _neighbor_idx)
+            n_uniq = int(np.unique(np.asarray(
+                _neighbor_idx(xyz, 50, False))).size)
+            rec = {"kernel": "spectral vocab targets",
+                   "n_unique": n_uniq, "u_cap": _default_vocab_cap(n)}
+            RECORDS.append(rec)
+            if JSON_PATH:
+                with open(JSON_PATH, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            print(f"spectral vocab targets: {n_uniq} "
+                  f"(cap {_default_vocab_cap(n)})")
         for mode in [m for m in args.spectral_modes.split(",") if m]:
             @functools.partial(jax.jit, static_argnames=("mode",))
             def mf_chain(x, m, s, mode):
