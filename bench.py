@@ -133,7 +133,12 @@ def main():
     cfg = Config(num_points=N_POINTS, knn=64, embed=128)
     model = build_model(cfg)
 
-    rng = np.random.RandomState(0)
+    # the RESERVED eval generator stream — independent of every training
+    # chain (sednet_tpu.data.synthetic.EVAL_STREAM_SEED), so the metric
+    # fields in these records stay held-out no matter how the committed
+    # checkpoint was trained
+    from sednet_tpu.data.synthetic import EVAL_STREAM_SEED
+    rng = np.random.RandomState(EVAL_STREAM_SEED)
     shapes = _shapes(rng, BATCH)
     x = jnp.asarray(np.stack([
         np.concatenate([s["points"], s["normals"]], -1) for s in shapes]))
@@ -366,7 +371,8 @@ def main():
         from sednet_tpu.predict import predict_shapes_stream
 
         K_STREAM = 4
-        rng_s = np.random.RandomState(1)
+        from sednet_tpu.data.synthetic import EVAL_STREAM_SEED
+        rng_s = np.random.RandomState(EVAL_STREAM_SEED + 1)
         stream_batches = []
         stream_gt = []
         for _ in range(K_STREAM):

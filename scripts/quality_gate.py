@@ -25,15 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(REPO, "checkpoints", "bench_10k.npz")
 
-# The committed checkpoint is the 2000-step seed-0 run (round 4,
-# train_bench_ckpt.py --steps 2000): inst_iou 0.8503, type_iou 0.9333,
-# recall 1.0 through the reference-default eval path. The gate measures
-# THIS artifact on a fixed held-out set with fixed keys, so the floors
-# sit a tight 0.05 under its measured scores (the round-3 floors were
-# min-over-3-seeds - 0.05, which tolerated a 0.13 drop from the best
-# seed — VERDICT r3 weak #3). The 400-step round-3 spread was
-# undertraining: at 2000 steps seed 0 moved 0.762 -> 0.850.
-FLOORS = {"inst_iou": 0.80, "type_iou": 0.88, "inst_recall": 0.95}
+# The committed checkpoint is the 6000-step seed-0 run (round 5,
+# train_bench_ckpt.py --steps 6000 --n-train 128): measured inst_iou
+# 0.9071, type_iou 0.9509, recall 1.0 through the reference-default eval
+# path on the RESERVED eval stream (synthetic.EVAL_STREAM_SEED — fixtures
+# no training chain can contain; the 2000-step predecessor scores
+# 0.8202/0.8723/1.0 on the same set). The gate measures THIS artifact on
+# that fixed held-out set with fixed keys, so the floors sit a tight
+# ~0.05 under its measured scores (single-artifact policy; cross-seed
+# variance is gated separately via --stability).
+FLOORS = {"inst_iou": 0.85, "type_iou": 0.90, "inst_recall": 0.95}
 
 # Cross-seed training stability (ADVICE r4: the tight single-artifact
 # floors no longer cover seed variance at all). --stability checks the
@@ -94,10 +95,16 @@ def main():
     from sednet_tpu.predict import run_prediction
     from sednet_tpu.train import load_params
 
-    root = os.path.join(args.workdir, f"data_{args.n_points}")
+    from sednet_tpu.data.synthetic import EVAL_STREAM_SEED
+
+    root = os.path.join(args.workdir, f"data_eval_{args.n_points}")
     if not os.path.exists(os.path.join(root, "data_parsenet")):
-        # seed 0 = the same generator chain train_bench_ckpt.py evaluates on
-        write_parsenet_h5(root, n_shapes=48, n_points=args.n_points, seed=0)
+        # the RESERVED eval stream (see synthetic.EVAL_STREAM_SEED): the
+        # old seed-0 chain put these fixtures INSIDE any train split
+        # generated with --n-train > 48 from the same stream — the gate
+        # must stay held out regardless of how the checkpoint was trained
+        write_parsenet_h5(root, n_shapes=args.eval_shapes,
+                          n_points=args.n_points, seed=EVAL_STREAM_SEED)
 
     cfg = Config(num_points=args.n_points, knn=64, embed=128,
                  hpnet_embed=True, ms_num_samples=min(5000, args.n_points))

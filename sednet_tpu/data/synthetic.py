@@ -143,6 +143,16 @@ def make_synthetic_shape(rng, n_points: int = 10000, n_segments: int | None = No
     }
 
 
+# Generator stream RESERVED for evaluation fixtures (quality_gate, bench
+# metric rows). Training scripts must never pass this seed to
+# write_parsenet_h5/make_synthetic_shape: the previous convention (gate and
+# trainers sharing the seed-0 chain) silently turned the gate's "fixed
+# held-out set" into TRAINING shapes once a run used a larger --n-train
+# than the gate's 48-shape chain (the 49-56th seed-0 draws the gate
+# evaluates landed inside a 128-shape train split — caught round 5).
+EVAL_STREAM_SEED = 90210
+
+
 def _stack_shapes(rng, n_shapes, n_points):
     shapes = [make_synthetic_shape(rng, n_points) for _ in range(n_shapes)]
     return {k: np.stack([s[k] for s in shapes]) for k in
