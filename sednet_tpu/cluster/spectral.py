@@ -240,24 +240,39 @@ def normal_affinity_sparse(xyz: jax.Array, normals: jax.Array, *,
     return idx, w, jax.lax.rsqrt(deg)
 
 
-def default_transpose_mode() -> str:
-    """Preferred A^T v layout for the matfree LOBPCG matvec: plain
-    scatter, on every backend.
+def default_transpose_mode(vmapped: bool = False) -> str:
+    """Preferred A^T v layout for the matfree LOBPCG matvec: the
+    compact-vocabulary slab, on every backend (plain scatter for
+    vmapped callers — see below).
 
-    Round 5 re-measured all four modes with K dependent solves chained
-    in ONE dispatch (the only timing the axon relay cannot pollute —
-    its ~30 ms ping dominates any single-dispatch measurement, which is
-    how every earlier ranking went wrong). TRUE device time per solve,
-    v5e, N=10k/knn=50/k=12: dense 36.8 ms, scatter 157.8, sorted 177.5,
-    pallas 429, scan 971; at N=32k scatter 932 vs pallas 1523. The
-    round-3 "scatter 478x slower than dense" was the EAGER-dispatch
-    artifact, and the round-4 preference for the Pallas scan rested on
-    single-dispatch numbers that were ~equal because ping swamped them
-    all (scripts/probe_spectral_gather.py measures 28-35 ms for every
-    formulation of either direction at any lowering — that's the relay
-    round-trip, not the kernel). The sorted/scan/pallas layouts remain
-    available for A/B; scatter is both the simplest and the fastest."""
-    return "scatter"
+    Round-5 amortized device time per solve (K dependent solves chained
+    in ONE dispatch — the only timing the axon relay cannot pollute),
+    v5e, knn=50/k=12: at N=10k dense 33.5 ms, VOCAB 42.0, scatter
+    118.6, sorted 177.5, pallas 429, scan 971; at N=32k dense 189.8,
+    VOCAB 141.8 (cap 2048), scatter 777.7. The vocab mode rides the
+    farthest-quirk structure (the graph's unique-target count is a
+    ~300-850 GEOMETRY constant, independent of N — see
+    _default_vocab_cap) to turn both matvec directions into MXU
+    matmuls: 1.25x dense cost at 10k and FASTER than dense at 32k with
+    O(N * u_cap) instead of O(N^2) memory, closing the round-3 "matfree
+    <= ~3x dense" target with a 2.8-5.5x margin. Shapes whose
+    vocabulary overflows the cap (sphere-dominated geometry) fall back
+    to the scatter formulation inside the same jit.
+
+    Pass vmapped=True from callers that vmap the solve over a shape
+    batch (predict._hpnet_enrich_batch): under vmap, lax.cond lowers to
+    select-both, so the vocab mode's overflow fallback would make every
+    batched solve pay the vocab AND the scatter formulation — there the
+    plain scatter stays the right default.
+
+    History: the round-3 "scatter 478x slower than dense" was an
+    EAGER-dispatch artifact and the round-4 preference for the Pallas
+    scan rested on ping-swamped single-dispatch numbers
+    (scripts/probe_spectral_gather.py measures 28-35 ms for every
+    formulation at any lowering — the relay round trip, not the
+    kernel). The scatter/sorted/scan/pallas layouts remain available
+    for A/B; all are per-edge gather/scatter-issue-bound."""
+    return "scatter" if vmapped else "vocab"
 
 
 def _sorted_transpose_layout(idx: jax.Array, coef: jax.Array):
@@ -322,11 +337,17 @@ def _default_vocab_cap(n: int) -> int:
     graph's unique-target count is 399-844 (4-8% of N) — the reference
     quirk's `largest=True` top-k (smooth_normal_matrix.py, torch.topk
     default) means only hull-extreme points ever appear as neighbours.
-    n//8 (>=512, <=4096, lane-rounded) leaves ~50% headroom at 10k; if a
-    shape exceeds the cap (e.g. a pure sphere, where every point is some
-    antipode's neighbour) the matvec falls back to the scatter path
-    inside the same jit, so the cap only affects speed, never values."""
-    return min(4096, max(512, _round_up(n // 8, 128)))
+    Crucially the count is a property of the GEOMETRY, not the sampling
+    density: the kbench CAD fixture measures 260 unique targets at
+    N=10k and 277 at N=32k. So the cap is clamped at 2048 (2.4x the max
+    observed) instead of growing with n — the (N, u_cap) slab's padded
+    columns are real per-matvec HBM traffic, and the first 32k
+    measurement with an n//8=4096 cap spent most of its 161 ms on
+    padding. If a shape exceeds the cap (e.g. a pure sphere, where
+    every point is some antipode's neighbour) the matvec falls back to
+    the scatter path inside the same jit, so the cap only affects
+    speed, never values."""
+    return min(2048, max(512, _round_up(n // 8, 128)))
 
 
 def _vocab_layout(idx: jax.Array, coef: jax.Array, n: int, u_cap: int):

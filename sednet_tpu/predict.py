@@ -332,7 +332,7 @@ def predict_shapes_async(
                     normal_smooth_w=cfg.normal_smooth_w,
                     sigma=cfg.spectral_sigma, knn=cfg.spectral_knn,
                     eig_k=cfg.spectral_eigvecs,
-                    transpose_mode=default_transpose_mode())
+                    transpose_mode=default_transpose_mode(vmapped=True))
             else:
                 emb_n = _hpnet_enrich_batch_dense(
                     embedding, xyz, norm_j, keys_e,
