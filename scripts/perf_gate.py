@@ -37,9 +37,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # "single-shape forward" key. r5 measured values in the comments.
 FLOORS = {
     "End-to-end shapes/sec/chip": 8.5,            # r5: 10.08 / 10.03
-    "single-shape forward (10k pts, device-only": 6.7,   # r5: 7.88 relay-free
+    "single-shape forward (10k pts, device-only": 8.7,   # r5: 10.25 relay-free
     "single-shape forward": 1.75,                 # r5: 4.10 / 2.07 (ping!)
-    "full pipeline": 4.1,                         # r5: 5.50 / 4.87
+    # full pipeline: 2.6 since the 6000-step checkpoint — it actually
+    # RECOVERS ~all 6 GT segments per shape (inst_iou 0.93 vs 0.83), so
+    # the fits+residuals stage processes ~2x the matched segments of the
+    # old under-segmenting checkpoint (4.87 -> 3.09 with residual
+    # 0.0135 -> 0.0078, p_cover 0.806 -> 0.964 in the same record). The
+    # floor gates the NEW workload; a code regression still trips it.
+    "full pipeline": 2.6,                         # r5: 3.09 (6k-step ckpt)
     "multi-vote TTA": 2.85,                       # r5: 3.37 / 3.36
     "reference-default eval device pipeline": 4.0,   # r5: 4.76 relay-free
     "reference-default eval (hpnet + usecd, streamed)": 2.75,  # r5: 3.39
