@@ -372,7 +372,6 @@ def _vocab_layout(idx: jax.Array, coef: jax.Array, n: int, u_cap: int):
     scalar for the overflow fallback). Exact: distinct top-k slots map to
     distinct columns, so no collisions in the A_c scatter; row sums are
     the same f32 terms as the scatter mode, reassociated."""
-    e = idx.size
     flat = jnp.sort(idx.reshape(-1).astype(jnp.int32))            # (E,)
     is_new = jnp.concatenate([jnp.ones((1,), jnp.int32),
                               (flat[1:] != flat[:-1]).astype(jnp.int32)])
